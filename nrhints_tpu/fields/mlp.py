@@ -1,0 +1,61 @@
+"""Linear-layer primitives: plain and weight-normalized, as param pytrees.
+
+Design: every field network in this framework is a dict-of-arrays pytree plus
+a pure ``apply`` function.  This keeps the hot path a flat chain of
+``x @ w + b`` matmuls that XLA tiles straight onto the MXU, makes shardings
+trivial (params are replicated leaves), and lets Pallas kernels consume the
+exact same weight arrays without any module-object indirection.
+
+Weight norm matches torch's ``nn.utils.weight_norm`` over ``dim=0`` of a
+``[out, in]`` torch weight: each output unit's weight row is reparameterized
+as ``g * v / ||v||``.  We store ``v`` transposed as ``[in, out]`` (JAX
+matmul convention), so the norm is over axis 0 per column.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def torch_default_linear_init(key: jax.Array, in_dim: int, out_dim: int, dtype=jnp.float32):
+    """Replicates torch.nn.Linear default init distribution:
+    kaiming-uniform(a=sqrt(5)) for the weight -> U(-1/sqrt(in), 1/sqrt(in)),
+    and the same bound for the bias."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_dim)
+    w = jax.random.uniform(kw, (in_dim, out_dim), minval=-bound, maxval=bound, dtype=dtype)
+    b = jax.random.uniform(kb, (out_dim,), minval=-bound, maxval=bound, dtype=dtype)
+    return w, b
+
+
+def linear_params(w: jnp.ndarray, b: jnp.ndarray) -> dict:
+    return {"w": w, "b": b}
+
+
+def linear_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ params["w"] + params["b"]
+
+
+def weight_norm_params(w: jnp.ndarray, b: jnp.ndarray) -> dict:
+    """Wrap a direct weight ``w [in, out]`` into weight-norm parameterization
+    with ``g`` initialized to the per-column norm (torch semantics: the
+    initial effective weight equals ``w`` exactly)."""
+    g = jnp.linalg.norm(w, axis=0)
+    return {"v": w, "g": g, "b": b}
+
+
+def weight_norm_apply(params: dict, x: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+    v = params["v"]
+    norm = jnp.linalg.norm(v, axis=0, keepdims=True)
+    w = v * (params["g"][None, :] / (norm + eps))
+    return x @ w + params["b"]
+
+
+def weight_norm_effective_weight(params: dict) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Materialize (w, b) from weight-norm params — used by fused kernels so
+    the normalization math runs once per step, not once per point."""
+    v = params["v"]
+    norm = jnp.linalg.norm(v, axis=0, keepdims=True)
+    return v * (params["g"][None, :] / norm), params["b"]

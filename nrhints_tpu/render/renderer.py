@@ -1,0 +1,619 @@
+"""NeuS-with-hints volumetric renderer: one pure jittable function from rays
+to radiance, depth, weights, and hint maps.
+
+Behavioral parity with ``models/neus_hint_model.py`` in iamNCJ/NRHints
+(``NeuSHintRenderer``): stratified 64 samples, 4 rounds of SDF-guided
+importance up-sampling (inv_s = 64*2^i), sigmoid-CDF SDF->alpha with
+cos-annealing, transmittance compositing, alpha-blend/max-weight/sphere-trace
+depth, shadow hint as the final transmittance of a secondary march from the
+light toward the estimated hit point (``:373-432``), Cook-Torrance specular
+hint at 4 roughnesses (``:588-616``), optional NeRF++ background
+(``:434-473``), geometry-warmup zeroing of both hints.
+
+TPU-native design decisions:
+* Everything is static-shaped: the hierarchical z-buffer grows
+  64->80->96->112->128 through an unrolled python loop over compile-time
+  round counts; merges are argsort+gather, never dynamic concat.
+* no_grad blocks become ``lax.stop_gradient`` on block outputs; XLA prunes
+  the corresponding backward subgraphs.
+* Normals come from one ``jax.vjp`` linearization (sdf, feature, and input
+  gradient together); the eikonal double-backward is nested AD.
+* The partial shadow hint's python chunk loop becomes ``lax.map`` over
+  fixed-size blocks.
+* Geometry warmup and train/eval are *static* variants (the trainer selects
+  the right compiled function per phase) so the hot graph carries no dead
+  branches.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nrhints_tpu.core.brdf import cook_torrance_specular, normalize
+from nrhints_tpu.core.sampling import (
+    merge_z_vals,
+    neus_up_sample,
+    perturb_z_vals_within_bins,
+    sample_pdf,
+    stratified_z_vals,
+    transmittance,
+)
+from nrhints_tpu.core.structs import RayBundle, RenderOutput
+from nrhints_tpu.fields.bg_nerf import BgNeRFConfig, bg_nerf_forward, bg_nerf_init
+from nrhints_tpu.fields.reflectance import (
+    ReflectanceNetConfig,
+    reflectance_forward,
+    reflectance_init,
+)
+from nrhints_tpu.fields.sdf import (
+    SDFNetConfig,
+    sdf_forward,
+    sdf_init,
+    sdf_only,
+    sdf_value_feat_grad,
+)
+from nrhints_tpu.fields.variance import VarianceConfig, inv_s_from_params, variance_init
+
+
+@dataclass(frozen=True)
+class RendererConfig:
+    """Static renderer configuration (hashable; safe as a jit static arg)."""
+
+    use_outside_nerf: bool = False
+    n_samples: int = 64
+    n_importance_samples: int = 64
+    n_outside_samples: int = 32
+    normal_type: str = "normalized_analytic"  # or "analytic"
+    up_sample_steps: int = 4
+    depth_type: str = "alpha_blending"  # or "maximum_point" | "sphere_tracing"
+    shadow_hint: bool = True
+    force_shadow_map: bool = False
+    specular_hint: bool = True
+    force_specular_cue: bool = False
+    shadow_ray_offset: float = 1e-2
+    specular_roughness: Tuple[float, ...] = (0.02, 0.05, 0.13, 0.34)
+    shadow_hint_gradient: bool = False
+    specular_hint_gradient: bool = False
+    n_shadow_importance_clip: int = -1
+    n_shadow_samples: int = 64
+    n_shadow_importance_samples: int = 64
+    override_near_far_to_sphere: bool = True
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Full model config: fields + renderer + schedule hyperparameters."""
+
+    sdf_network: SDFNetConfig = field(default_factory=SDFNetConfig)
+    outside_nerf: BgNeRFConfig = field(default_factory=BgNeRFConfig)
+    deviation_network: VarianceConfig = field(default_factory=VarianceConfig)
+    reflectance_network: ReflectanceNetConfig = field(default_factory=ReflectanceNetConfig)
+    renderer: RendererConfig = field(default_factory=RendererConfig)
+
+    igr_weight: float = 0.1
+    lr: float = 5e-4
+    lr_alpha: float = 0.05
+    warm_up_end: int = 5_000
+    end_iter: int = 1_000_000
+    anneal_end: int = 50_000
+    geometry_warmup_end: int = 0
+
+    batch_size: int = 512
+    shadow_mini_chunk_size: int = 2048
+    training_chunk_size: int = 512
+    inference_chunk_size: int = 512
+
+    @property
+    def has_shadow_hint(self) -> bool:
+        return self.renderer.shadow_hint or self.renderer.force_shadow_map
+
+    @property
+    def has_specular_hint(self) -> bool:
+        return self.renderer.specular_hint or self.renderer.force_specular_cue
+
+
+def init_model_params(key: jax.Array, cfg: ModelConfig) -> dict:
+    """Initialize all field parameters as one pytree."""
+    k_sdf, k_color, k_bg = jax.random.split(key, 3)
+    params = {
+        "sdf": sdf_init(k_sdf, cfg.sdf_network),
+        "variance": variance_init(cfg.deviation_network),
+        "color": reflectance_init(
+            k_color,
+            cfg.reflectance_network,
+            d_feature=cfg.sdf_network.d_out_feat,
+            d_out=3,
+            shadow_hint=cfg.renderer.shadow_hint,
+            specular_hint=cfg.renderer.specular_hint,
+            specular_hint_len=len(cfg.renderer.specular_roughness),
+        ),
+    }
+    if cfg.renderer.use_outside_nerf:
+        params["bg"] = bg_nerf_init(k_bg, cfg.outside_nerf)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# SDF -> alpha
+
+
+def _neus_alpha(
+    sdf: jnp.ndarray,  # [N]
+    grads: jnp.ndarray,  # [N, 3]
+    dirs: jnp.ndarray,  # [N, 3]
+    dists: jnp.ndarray,  # [N]
+    inv_s: jnp.ndarray,  # scalar
+    cos_anneal_ratio: jnp.ndarray,
+) -> jnp.ndarray:
+    """Alpha from section SDF via the sigmoid-CDF ratio with cos annealing
+    (reference get_alpha, ``models/neus_hint_model.py:333-357``)."""
+    true_cos = jnp.sum(dirs * grads, axis=-1)
+    iter_cos = -(
+        jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
+        + jax.nn.relu(-true_cos) * cos_anneal_ratio
+    )
+    est_next = sdf + iter_cos * dists * 0.5
+    est_prev = sdf - iter_cos * dists * 0.5
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+    next_cdf = jax.nn.sigmoid(est_next * inv_s)
+    return jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical sampling
+
+
+def _importance_sample_z(params, cfg: ModelConfig, rays_o, rays_d, z_vals):
+    """4 rounds of up-sampling; returns the merged [B, n+n_imp] z buffer.
+
+    Gradients are cut at the output (reference runs this under no_grad).
+    """
+    rcfg = cfg.renderer
+    batch = z_vals.shape[0]
+    n_per_round = rcfg.n_importance_samples // rcfg.up_sample_steps
+
+    def sdf_at(z):
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., :, None]
+        return sdf_only(params["sdf"], cfg.sdf_network, pts.reshape(-1, 3)).reshape(
+            batch, z.shape[-1]
+        )
+
+    sdf = sdf_at(z_vals)
+    for i in range(rcfg.up_sample_steps):
+        new_z = neus_up_sample(
+            rays_o, rays_d, z_vals, sdf, n_per_round, 64.0 * 2 ** i
+        )
+        last = i + 1 == rcfg.up_sample_steps
+        if last:
+            z_vals, _ = merge_z_vals(z_vals, new_z)
+        else:
+            new_sdf = sdf_at(new_z)
+            z_vals, sdf = merge_z_vals(z_vals, new_z, sdf, new_sdf)
+    return jax.lax.stop_gradient(z_vals)
+
+
+# ---------------------------------------------------------------------------
+# Shadow hint
+
+
+def _shadow_transmittance(
+    params,
+    cfg: ModelConfig,
+    pls: jnp.ndarray,  # [N, 3] light positions (one per shadow ray)
+    target_points: jnp.ndarray,  # [N, 3]
+    cos_anneal_ratio,
+    key: jax.Array | None,
+) -> jnp.ndarray:
+    """Final transmittance of a march from the light to just before the
+    target point -> [N, 1].  Mirrors reference get_visibility (:373-432):
+    own stratified samples along the light ray, its own 4-round up-sampling
+    with inv_s = 64*2^i, per-ray sample_dist = |light - target| / n."""
+    rcfg = cfg.renderer
+    n = rcfg.n_shadow_samples
+    n_imp = rcfg.n_shadow_importance_samples
+    up_steps = rcfg.up_sample_steps
+
+    ray_o = pls
+    d = target_points - ray_o
+    light_norm = jnp.linalg.norm(d, axis=-1, keepdims=True)  # [N,1]
+    sample_dist = light_norm / n
+    ray_d = d / light_norm
+
+    t = jnp.linspace(0.0, 1.0, n, dtype=d.dtype)
+    z_vals = t[None, :] * light_norm * (1.0 - rcfg.shadow_ray_offset)
+    if key is not None:
+        z_vals = perturb_z_vals_within_bins(z_vals, key)
+
+    batch = z_vals.shape[0]
+
+    def sdf_at(z):
+        pts = ray_o[:, None, :] + ray_d[:, None, :] * z[..., :, None]
+        return sdf_only(params["sdf"], cfg.sdf_network, pts.reshape(-1, 3)).reshape(
+            batch, z.shape[-1]
+        )
+
+    if n_imp > 0:
+        sdf = sdf_at(z_vals)
+        for i in range(up_steps):
+            new_z = neus_up_sample(ray_o, ray_d, z_vals, sdf, n_imp // up_steps, 64.0 * 2 ** i)
+            last = i + 1 == up_steps
+            if last:
+                z_vals, _ = merge_z_vals(z_vals, new_z)
+            else:
+                z_vals, sdf = merge_z_vals(z_vals, new_z, sdf, sdf_at(new_z))
+
+    n_total = z_vals.shape[-1]
+    dists = jnp.concatenate(
+        [z_vals[..., 1:] - z_vals[..., :-1], sample_dist], axis=-1
+    )
+    mid_z = z_vals + dists * 0.5
+    pts = (ray_o[:, None, :] + ray_d[:, None, :] * mid_z[..., :, None]).reshape(-1, 3)
+    dirs = jnp.broadcast_to(ray_d[:, None, :], (batch, n_total, 3)).reshape(-1, 3)
+
+    sdf_v, _, grads = sdf_value_feat_grad(params["sdf"], cfg.sdf_network, pts)
+    inv_s = inv_s_from_params(params["variance"])
+    alpha = _neus_alpha(
+        sdf_v, grads, dirs, dists.reshape(-1), inv_s, cos_anneal_ratio
+    ).reshape(batch, n_total)
+    taus = transmittance(alpha)
+    return taus[..., -1:]
+
+
+# ---------------------------------------------------------------------------
+# Background (NeRF++ inverted sphere)
+
+
+def _render_outside(params, cfg: ModelConfig, rays_o, rays_d, rays_pl, z_vals, sample_dist):
+    """Background color/alpha along z (reference render_outside :434-473)."""
+    batch, n = z_vals.shape
+    dists = jnp.concatenate(
+        [z_vals[..., 1:] - z_vals[..., :-1], jnp.full((batch, 1), sample_dist, z_vals.dtype)],
+        axis=-1,
+    )
+    mid_z = z_vals + dists * 0.5
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * mid_z[..., :, None]
+    dis = jnp.clip(jnp.linalg.norm(pts, axis=-1, keepdims=True), 1.0, 1e10)
+    pts4 = jnp.concatenate([pts / dis, 1.0 / dis], axis=-1).reshape(-1, 4)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], (batch, n, 3)).reshape(-1, 3)
+    pls = jnp.broadcast_to(rays_pl[:, None, :], (batch, n, 3)).reshape(-1, 3)
+
+    density, raw_rgb = bg_nerf_forward(params["bg"], cfg.outside_nerf, pts4, dirs, pls)
+    color = jax.nn.sigmoid(raw_rgb).reshape(batch, n, 3)
+    alpha = 1.0 - jnp.exp(-jax.nn.softplus(density.reshape(batch, n)) * dists)
+    return alpha, color
+
+
+# ---------------------------------------------------------------------------
+# Main entry
+
+
+def render_rays(
+    params: dict,
+    cfg: ModelConfig,
+    rays: RayBundle,
+    key: jax.Array | None = None,
+    *,
+    is_training: bool = False,
+    geometry_warmup: bool = False,
+    cos_anneal_ratio: jnp.ndarray | float = 1.0,
+    background_rgb: jnp.ndarray | None = None,
+) -> RenderOutput:
+    """Render a flat batch of rays -> RenderOutput.
+
+    ``is_training`` and ``geometry_warmup`` are *static* — the trainer holds
+    separately jitted variants.  ``cos_anneal_ratio`` is a traced scalar.
+    """
+    rcfg = cfg.renderer
+    rays_o, rays_d, rays_pl = rays.origins, rays.directions, rays.pl_positions
+    batch = rays_o.shape[0]
+    n_samples = rcfg.n_samples
+    sample_dist = 2.0 / n_samples
+
+    if key is None:
+        if is_training:
+            raise ValueError(
+                "render_rays(is_training=True) requires a PRNG key: training "
+                "uses stratified jitter and shadow-ray perturbation"
+            )
+        k_strat = k_shadow = None
+    else:
+        k_strat, k_out, k_shadow = jax.random.split(key, 3)
+
+    z_vals = stratified_z_vals(
+        rays.nears, rays.fars, n_samples, key=k_strat if is_training else None
+    )
+
+    if rcfg.n_importance_samples > 0:
+        z_vals = _importance_sample_z(params, cfg, rays_o, rays_d, z_vals)
+
+    # Background.
+    background_alpha = None
+    background_color = None
+    if rcfg.use_outside_nerf:
+        n_out = rcfg.n_outside_samples
+        z_out = jnp.linspace(1e-3, 1.0 - 1.0 / (n_out + 1.0), n_out, dtype=z_vals.dtype)
+        z_out = jnp.broadcast_to(z_out, (batch, n_out))
+        if is_training and key is not None:
+            z_out = perturb_z_vals_within_bins(z_out, k_out)
+        z_out = rays.fars / jnp.flip(z_out, axis=-1) + 1.0 / n_samples
+        z_feed, _ = merge_z_vals(z_vals, z_out)
+        background_alpha, background_color = _render_outside(
+            params, cfg, rays_o, rays_d, rays_pl, z_feed, sample_dist
+        )
+
+    n_total = z_vals.shape[-1]
+
+    # Section midpoints and lengths.
+    dists = jnp.concatenate(
+        [
+            z_vals[..., 1:] - z_vals[..., :-1],
+            jnp.full((batch, 1), sample_dist, z_vals.dtype),
+        ],
+        axis=-1,
+    )
+    mid_z = z_vals + dists * 0.5
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * mid_z[..., :, None]  # [B,S,3]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+    pls_b = jnp.broadcast_to(rays_pl[:, None, :], pts.shape)
+
+    pts_flat = pts.reshape(-1, 3)
+    dirs_flat = dirs.reshape(-1, 3)
+    pls_flat = pls_b.reshape(-1, 3)
+
+    sdf, feat, grads = sdf_value_feat_grad(params["sdf"], cfg.sdf_network, pts_flat)
+    inv_s = inv_s_from_params(params["variance"])
+    alpha = _neus_alpha(
+        sdf, grads, dirs_flat, dists.reshape(-1), inv_s, cos_anneal_ratio
+    ).reshape(batch, n_total)
+
+    pts_norm = jnp.linalg.norm(pts_flat, axis=-1).reshape(batch, n_total)
+    inside_sphere = jax.lax.stop_gradient((pts_norm < 1.0).astype(alpha.dtype))
+    relax_inside_sphere = jax.lax.stop_gradient((pts_norm < 1.2).astype(alpha.dtype))
+
+    if background_alpha is not None:
+        alpha_full = jnp.concatenate(
+            [
+                alpha * inside_sphere + background_alpha[:, :n_total] * (1.0 - inside_sphere),
+                background_alpha[:, n_total:],
+            ],
+            axis=-1,
+        )
+    else:
+        alpha_full = alpha
+
+    weights = alpha_full * transmittance(alpha_full)
+    weights_sum = jnp.sum(weights, axis=-1, keepdims=True)
+    neus_weights = weights[:, :n_total]
+
+    # Depth / hit points.
+    if rcfg.depth_type == "alpha_blending":
+        depths = jax.lax.stop_gradient(
+            jnp.sum(mid_z * neus_weights, axis=-1, keepdims=True)
+        )
+    elif rcfg.depth_type == "maximum_point":
+        max_idx = jnp.argmax(neus_weights, axis=-1, keepdims=True)
+        depths = jax.lax.stop_gradient(jnp.take_along_axis(mid_z, max_idx, axis=-1))
+    elif rcfg.depth_type == "sphere_tracing":
+        depths = jax.lax.stop_gradient(
+            _sphere_trace_depth(params, cfg, rays_o, rays_d, rays.fars)
+        )
+    else:
+        raise ValueError(f"unknown depth_type {rcfg.depth_type}")
+    hit_points = rays_o + rays_d * depths
+
+    has_shadow = cfg.has_shadow_hint
+    has_specular = cfg.has_specular_hint
+
+    # Shadow hint.
+    visibilities = None  # per point [B*S, 1]
+    shadow_map = None  # per ray [B, 1]
+    if has_shadow and not geometry_warmup:
+        if rcfg.n_shadow_importance_clip == -1:
+            vis = _shadow_transmittance(
+                params,
+                cfg,
+                rays_pl,
+                hit_points,
+                cos_anneal_ratio,
+                k_shadow if is_training else None,
+            )
+            if not rcfg.shadow_hint_gradient:
+                vis = jax.lax.stop_gradient(vis)
+            shadow_map = vis
+            visibilities = jnp.broadcast_to(vis[:, None, :], (batch, n_total, 1)).reshape(-1, 1)
+        else:
+            visibilities, shadow_map = _partial_shadow_hint(
+                params, cfg, rays_o, rays_d, rays_pl, z_vals, weights,
+                cos_anneal_ratio, k_shadow if is_training else None,
+            )
+    elif has_shadow and geometry_warmup:
+        visibilities = jnp.zeros((batch * n_total, 1), dtype=alpha.dtype)
+        shadow_map = visibilities[:batch]
+
+    # Normals.
+    analytic_normal = grads  # [B*S, 3]
+    normalized_normal = normalize(analytic_normal)
+
+    # Specular hint at the blended hit point.
+    specular_cue = None
+    if has_specular and not geometry_warmup:
+        hit_normal = jnp.sum(
+            normalized_normal.reshape(batch, n_total, 3) * neus_weights[..., None],
+            axis=1,
+        )
+        hit_normal = normalize(hit_normal)
+        lit_dirs = normalize(rays_pl - hit_points)
+        view_dirs = normalize(-rays_d)
+        spec = cook_torrance_specular(
+            hit_normal, lit_dirs, view_dirs, rcfg.specular_roughness
+        )  # [B, R]
+        if not rcfg.specular_hint_gradient:
+            spec = jax.lax.stop_gradient(spec)
+        specular_cue = jnp.broadcast_to(
+            spec[:, None, :], (batch, n_total, spec.shape[-1])
+        ).reshape(batch * n_total, -1)
+    elif has_specular and geometry_warmup:
+        specular_cue = jnp.zeros(
+            (batch * n_total, len(rcfg.specular_roughness)), dtype=alpha.dtype
+        )
+
+    input_normal = analytic_normal if rcfg.normal_type == "analytic" else normalized_normal
+    sampled_color = reflectance_forward(
+        params["color"],
+        cfg.reflectance_network,
+        pts_flat,
+        input_normal,
+        dirs_flat,
+        feat,
+        pls_flat,
+        visibilities if rcfg.shadow_hint else None,
+        specular_cue if rcfg.specular_hint else None,
+    ).reshape(batch, n_total, 3)
+
+    if background_alpha is not None:
+        sampled_color = jnp.concatenate(
+            [
+                sampled_color * inside_sphere[..., None]
+                + background_color[:, :n_total] * (1.0 - inside_sphere)[..., None],
+                background_color[:, n_total:],
+            ],
+            axis=1,
+        )
+
+    color = jnp.sum(sampled_color * weights[..., None], axis=1)
+    if background_rgb is not None:
+        color = color + background_rgb * (1.0 - weights_sum)
+
+    s_val = jnp.broadcast_to(1.0 / inv_s, (batch,))[:, None]
+
+    return RenderOutput(
+        rgb=color,
+        depth=depths,
+        weights=weights,
+        s_val=s_val,
+        inside_sphere=inside_sphere,
+        # Reference quirk kept deliberately: relax_inside_sphere carries the
+        # r<1.0 mask (models/neus_hint_model.py:745); see SURVEY.md §2.3.
+        relax_inside_sphere=inside_sphere,
+        analytic_normals=analytic_normal.reshape(batch, n_total, 3),
+        normalized_analytic_normals=normalized_normal.reshape(batch, n_total, 3),
+        visibilities=shadow_map if has_shadow else None,
+        specular_cue=None
+        if not has_specular
+        else specular_cue.reshape(batch, n_total, -1),
+    )
+
+
+def _partial_shadow_hint(
+    params, cfg: ModelConfig, rays_o, rays_d, rays_pl, z_vals, weights,
+    cos_anneal_ratio, key,
+):
+    """Partial-hint variant (n_shadow_importance_clip > 0): march shadow rays
+    to ``n_clip`` evenly strided sample points per camera ray, chunked with
+    ``lax.map`` to bound memory (replaces the reference's python mini-chunk
+    loop, ``models/neus_hint_model.py:554-576``)."""
+    rcfg = cfg.renderer
+    batch, n_total = z_vals.shape
+    n_clip = rcfg.n_shadow_importance_clip
+    clip_ratio = n_total // n_clip
+
+    hint_z = z_vals[:, ::clip_ratio][:, :n_clip]
+    hint_pts = (
+        rays_o[:, None, :] + rays_d[:, None, :] * hint_z[..., :, None]
+    ).reshape(-1, 3)
+    hint_pls = jnp.broadcast_to(rays_pl[:, None, :], (batch, n_clip, 3)).reshape(-1, 3)
+
+    total = batch * n_clip
+    chunk = min(cfg.shadow_mini_chunk_size, total)
+    n_chunks = -(-total // chunk)
+    pad = n_chunks * chunk - total
+    if pad:
+        hint_pts = jnp.concatenate([hint_pts, jnp.ones((pad, 3), hint_pts.dtype)], 0)
+        hint_pls = jnp.concatenate([hint_pls, jnp.zeros((pad, 3), hint_pls.dtype)], 0)
+
+    keys = (
+        jax.random.split(key, n_chunks)
+        if key is not None
+        else jnp.zeros((n_chunks, 2), dtype=jnp.uint32)
+    )
+
+    def body(args):
+        pts_c, pls_c, k = args
+        kk = k if key is not None else None
+        return _shadow_transmittance(params, cfg, pls_c, pts_c, cos_anneal_ratio, kk)
+
+    vis = jax.lax.map(
+        body,
+        (
+            hint_pts.reshape(n_chunks, chunk, 3),
+            hint_pls.reshape(n_chunks, chunk, 3),
+            keys,
+        ),
+    ).reshape(-1, 1)[:total]
+    if not rcfg.shadow_hint_gradient:
+        vis = jax.lax.stop_gradient(vis)
+
+    vis = vis.reshape(batch, n_clip, 1)
+    vis_full = jnp.repeat(vis, clip_ratio, axis=1)  # [B, n_total, 1]
+    max_idx = jnp.argmax(weights, axis=1, keepdims=True)
+    shadow_map = jnp.take_along_axis(vis_full[..., 0], max_idx, axis=1)
+    return vis_full.reshape(-1, 1), shadow_map
+
+
+def _sphere_trace_depth(params, cfg: ModelConfig, rays_o, rays_d, fars, n_iters: int = 128, eps: float = 1e-4):
+    """Sphere tracing depth (reference sphere_trace :359-371) as a
+    fixed-trip-count masked ``fori_loop`` (TPU-friendly; no early exit)."""
+
+    def body(_, carry):
+        pts, depths = carry
+        sdf = sdf_only(params["sdf"], cfg.sdf_network, pts)[:, None]
+        converged = (jnp.abs(sdf) < eps) | (depths > fars)
+        pts = jnp.where(converged, pts, pts + sdf * rays_d)
+        depths = jnp.where(converged, depths, depths + sdf)
+        return pts, depths
+
+    _, depths = jax.lax.fori_loop(
+        0, n_iters, body, (rays_o, jnp.zeros_like(rays_o[:, :1]))
+    )
+    return depths
+
+
+# ---------------------------------------------------------------------------
+# SDF grid evaluation (mesh export feed)
+
+
+def extract_sdf_grid(
+    params: dict,
+    cfg: ModelConfig,
+    bound_min,
+    bound_max,
+    resolution: int,
+    block: int = 64,
+) -> jnp.ndarray:
+    """Evaluate -sdf on a dense grid -> [res, res, res] (device compute;
+    marching cubes runs on host via the native extension).  Mirrors
+    extract_fields (``models/neus_hint_model.py:68-83``) with ``lax.map``
+    over fixed blocks instead of a python triple loop."""
+    bmin = jnp.asarray(bound_min, dtype=jnp.float32)
+    bmax = jnp.asarray(bound_max, dtype=jnp.float32)
+    xs = jnp.linspace(bmin[0], bmax[0], resolution)
+    ys = jnp.linspace(bmin[1], bmax[1], resolution)
+    zs = jnp.linspace(bmin[2], bmax[2], resolution)
+    grid = jnp.stack(jnp.meshgrid(xs, ys, zs, indexing="ij"), axis=-1).reshape(-1, 3)
+
+    total = grid.shape[0]
+    chunk = block ** 3
+    n_chunks = -(-total // chunk)
+    pad = n_chunks * chunk - total
+    if pad:
+        grid = jnp.concatenate([grid, jnp.zeros((pad, 3), grid.dtype)], axis=0)
+
+    vals = jax.lax.map(
+        lambda p: -sdf_only(params["sdf"], cfg.sdf_network, p),
+        grid.reshape(n_chunks, chunk, 3),
+    ).reshape(-1)[:total]
+    return vals.reshape(resolution, resolution, resolution)
