@@ -1,0 +1,205 @@
+"""Whole-image evaluation: chunked device rendering inside one jit, normal
+map assembly, metrics, and test-time pose registration.
+
+Reference behavior (iamNCJ/NRHints ``pipelines/base_pipeline.py:71-156``):
+python-chunked inference at 512 rays, td_concat on CPU, world->camera
+rotation of weighted normal maps, PSNR/SSIM/LPIPS; plus ``register_view`` —
+500 Adam steps on the ray-generator params only before evaluating, when
+pose/light optimization is on.
+
+TPU-native: the whole image renders in ONE device dispatch — rays are padded
+to a multiple of the chunk size and swept with ``lax.map`` (sequential
+fixed-shape blocks; compiled once per image geometry).  Per-pixel reductions
+(weighted normals, shadow map) happen on device inside the chunk body, so
+only [H*W, small] tensors ever reach the host.  ``register_view`` is a
+second small jitted Adam loop over the pose table — an optimizer-inside-eval
+kept pure by carrying (params, opt_state) functionally.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nrhints_tpu.camera.model import CameraModel
+from nrhints_tpu.camera.rays import generate_rays
+from nrhints_tpu.configs.config import SystemConfig
+from nrhints_tpu.core.structs import PixelBundle
+from nrhints_tpu.eval.metrics import lpips, lpips_available, psnr, ssim
+from nrhints_tpu.render.renderer import render_rays
+from nrhints_tpu.train.step import forward_pipeline
+
+
+class Evaluator:
+    def __init__(self, cfg: SystemConfig, camera: CameraModel, buffers: dict):
+        self.cfg = cfg
+        self.camera = camera
+        self.buffers = buffers
+        self._render_image_jit = jax.jit(self._render_image_impl)
+        self._register_step_jit = None  # built lazily
+
+    # ------------------------------------------------------------------
+    # Whole-image rendering
+
+    def _render_chunk(self, params, chunk: PixelBundle):
+        cfg = self.cfg
+        out = forward_pipeline(
+            params,
+            self.buffers,
+            cfg,
+            self.camera,
+            chunk,
+            None,
+            is_training=False,
+            geometry_warmup=False,
+            cos_anneal_ratio=1.0,
+        )
+        # Per-pixel reductions on device (weighted, inside-sphere-masked
+        # normals as in base_pipeline.py:126-133).
+        w_in = out.weights[..., : out.inside_sphere.shape[-1]] * out.inside_sphere
+        normal = jnp.einsum("bsc,bs->bc", out.analytic_normals, w_in)
+        nnormal = jnp.einsum("bsc,bs->bc", out.normalized_analytic_normals, w_in)
+        res = {
+            "rgb": out.rgb,
+            "depth": out.depth,
+            "normal": normal,
+            "normalized_normal": nnormal,
+        }
+        if out.visibilities is not None:
+            res["shadow_map"] = out.visibilities
+        if out.specular_cue is not None:
+            # Per-pixel weighted blend of the per-sample cue (the reference
+            # dumps the raw [H,W,S,R] tensor; we reduce on device instead —
+            # deliberate divergence to avoid hauling GBs to host).
+            res["specular_hint"] = jnp.einsum(
+                "bsr,bs->br",
+                out.specular_cue,
+                out.weights[..., : out.specular_cue.shape[1]],
+            )
+        return res
+
+    def _render_image_impl(self, params, pixels_flat: PixelBundle):
+        chunk = self.cfg.model.inference_chunk_size
+        n = pixels_flat.h_indices.shape[0]
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+
+        def pad_leaf(x):
+            if x is None:
+                return None
+            pad_width = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pad_width, mode="edge").reshape(
+                (n_chunks, chunk) + x.shape[1:]
+            )
+
+        batched = jax.tree_util.tree_map(pad_leaf, pixels_flat)
+        res = jax.lax.map(lambda c: self._render_chunk(params, c), batched)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((n_chunks * chunk,) + x.shape[2:])[:n], res
+        )
+
+    def render_image(self, params, pixels: PixelBundle) -> Dict[str, np.ndarray]:
+        """Render a [H, W] pixel bundle -> host dict of [H, W, C] images."""
+        H, W = pixels.h_indices.shape[:2]
+        flat = pixels.flatten()
+        res = self._render_image_jit(params, flat)
+        res = {k: np.asarray(v).reshape(H, W, -1) for k, v in res.items()}
+
+        # Rotate normal maps into the camera frame (reference :125-133).
+        rot = np.linalg.inv(np.asarray(pixels.poses)[0, 0, :3, :3])
+        for k in ("normal", "normalized_normal"):
+            res[k] = (res[k].reshape(-1, 3) @ rot.T).reshape(H, W, 3)
+        return res
+
+    def get_eval_dicts(
+        self, params, pixels: PixelBundle
+    ) -> Tuple[Dict[str, np.ndarray], Dict[str, float], Dict[str, np.ndarray]]:
+        """(img_dict, metrics_dict, tensor_dict) for one view — the
+        reference get_eval_dicts surface."""
+        if (
+            self.cfg.ray_generator.cam_opt_mode != "off" or self.cfg.ray_generator.pl_opt
+        ) and pixels.rgb_gt is not None:
+            params = self.register_view(params, pixels)
+
+        res = self.render_image(params, pixels)
+        img_dict = {
+            "rgb": res["rgb"],
+            "analytic_normals": res["normal"],
+            "normalized_analytic_normals": res["normalized_normal"],
+        }
+        if pixels.rgb_gt is not None:
+            img_dict["rgb_gt"] = np.asarray(pixels.rgb_gt)
+        if "shadow_map" in res:
+            img_dict["shadow_map"] = res["shadow_map"]
+
+        metrics: Dict[str, float] = {}
+        if pixels.rgb_gt is not None:
+            gt = np.asarray(pixels.rgb_gt)
+            metrics["psnr"] = psnr(res["rgb"], gt)
+            metrics["ssim"] = ssim(res["rgb"], gt)
+            if lpips_available():
+                metrics["lpips"] = lpips(res["rgb"], gt)
+
+        tensor_dict = {"depth": res["depth"]}
+        if "specular_hint" in res:
+            tensor_dict["specular_hint"] = res["specular_hint"]
+        return img_dict, metrics, tensor_dict
+
+    # ------------------------------------------------------------------
+    # Test-time pose registration
+
+    def register_view(self, params, pixels: PixelBundle, steps: int = 500):
+        """500 Adam steps on the ray-generator params only (reference
+        register_view, base_pipeline.py:71-91).  Returns updated params;
+        the renderer params are byte-identical (frozen via stop_gradient
+        by exclusion — only raygen leaves are optimized)."""
+        if not params["raygen"]:
+            return params
+        cfg = self.cfg
+        tx = optax.adam(cfg.ray_generator.opt_lr)
+
+        if self._register_step_jit is None:
+
+            def one_step(raygen_params, opt_state, renderer_params, image_bundle, key):
+                H, W = image_bundle.h_indices.shape[:2]
+                kh, kw = jax.random.split(key)
+                bs = cfg.model.batch_size
+                h_idx = jax.random.randint(kh, (bs,), 0, H)
+                w_idx = jax.random.randint(kw, (bs,), 0, W)
+                batch = jax.tree_util.tree_map(
+                    lambda x: None if x is None else x[h_idx, w_idx], image_bundle
+                )
+
+                def loss_fn(rp):
+                    out = forward_pipeline(
+                        {"renderer": renderer_params, "raygen": rp},
+                        self.buffers,
+                        cfg,
+                        self.camera,
+                        batch,
+                        None,
+                        is_training=False,
+                        geometry_warmup=False,
+                        cos_anneal_ratio=1.0,
+                    )
+                    return jnp.sum(jnp.abs(out.rgb - batch.rgb_gt)) / (bs + 1e-5)
+
+                loss, grads = jax.value_and_grad(loss_fn)(raygen_params)
+                updates, opt_state = tx.update(grads, opt_state, raygen_params)
+                return optax.apply_updates(raygen_params, updates), opt_state, loss
+
+            self._register_step_jit = jax.jit(one_step)
+
+        raygen = params["raygen"]
+        opt_state = tx.init(raygen)
+        key = jax.random.PRNGKey(0)
+        for i in range(steps):
+            key, sub = jax.random.split(key)
+            raygen, opt_state, _ = self._register_step_jit(
+                raygen, opt_state, params["renderer"], pixels, sub
+            )
+        return {"renderer": params["renderer"], "raygen": raygen}

@@ -1,0 +1,177 @@
+"""Loss, optimizer, train state, and the jitted/sharded training step.
+
+Reference behavior reproduced (iamNCJ/NRHints):
+* loss = L1(rgb)/batch + igr_weight * eikonal masked to the inside-sphere
+  mask (``pipelines/base_pipeline.py:50-69``; note the reference feeds the
+  r<1.0 mask through ``relax_inside_sphere`` — see SURVEY.md §2.3)
+* Adam with per-group lr (renderer lr vs ray-generator opt_lr,
+  ``pipelines/base_pipeline.py:32-37``) under a shared warmup+cosine factor
+  (``trainer/trainer.py:99-113``)
+* cos_anneal_ratio = min(1, step/anneal_end) as a traced scalar
+* geometry warmup is a *static* variant selected by the trainer per phase.
+
+TPU-native: one ``train_step`` jitted with donated state; under a mesh the
+batch is sharded over 'data' and params replicated, so grad reduction is an
+XLA-fused psum — functionally identical to DDP's all-reduce but overlapped
+by the compiler.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from nrhints_tpu.camera.model import CameraModel
+from nrhints_tpu.camera.rays import RayGeneratorConfig, generate_rays
+from nrhints_tpu.configs.config import SystemConfig
+from nrhints_tpu.core.structs import PixelBundle, RenderOutput
+from nrhints_tpu.render.renderer import ModelConfig, render_rays
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray  # int32 scalar
+    params: Any  # {'renderer': ..., 'raygen': ...}
+    opt_state: Any
+
+
+def lr_factor_schedule(warm_up_end: int, end_iter: int, alpha: float):
+    """Warmup-then-cosine learning-rate factor (reference lr_lambda,
+    ``trainer/trainer.py:105-111``)."""
+
+    def factor(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(warm_up_end, 1)
+        progress = (step - warm_up_end) / jnp.maximum(end_iter - warm_up_end, 1)
+        cos = (jnp.cos(jnp.pi * progress) + 1.0) * 0.5 * (1 - alpha) + alpha
+        return jnp.where(step < warm_up_end, warm, cos)
+
+    return factor
+
+
+def make_optimizer(cfg: SystemConfig) -> optax.GradientTransformation:
+    """Two Adam groups (renderer / raygen) under one shared decay factor."""
+    factor = lr_factor_schedule(cfg.model.warm_up_end, cfg.model.end_iter, cfg.model.lr_alpha)
+    tx_renderer = optax.adam(learning_rate=lambda s: cfg.model.lr * factor(s))
+    tx_raygen = optax.adam(learning_rate=lambda s: cfg.ray_generator.opt_lr * factor(s))
+
+    def label_fn(params):
+        return {
+            "renderer": jax.tree_util.tree_map(lambda _: "renderer", params["renderer"]),
+            "raygen": jax.tree_util.tree_map(lambda _: "raygen", params["raygen"]),
+        }
+
+    return optax.multi_transform(
+        {"renderer": tx_renderer, "raygen": tx_raygen}, label_fn
+    )
+
+
+def compute_loss_dict(
+    out: RenderOutput, rgb_gt: jnp.ndarray, igr_weight: float
+) -> tuple[jnp.ndarray, dict]:
+    batch = out.rgb.shape[0]
+    rgb_loss = jnp.sum(jnp.abs(out.rgb - rgb_gt)) / (batch + 1e-5)
+    grad_err = (jnp.linalg.norm(out.analytic_normals, axis=-1) - 1.0) ** 2
+    mask = out.relax_inside_sphere
+    eikonal_loss = jnp.sum(mask * grad_err) / (jnp.sum(mask) + 1e-5)
+    loss = rgb_loss + eikonal_loss * igr_weight
+    mse = jnp.mean((out.rgb - rgb_gt) ** 2)
+    psnr = -10.0 * jnp.log10(mse + 1e-10)
+    return loss, {
+        "loss": loss,
+        "rgb_loss": rgb_loss,
+        "eikonal_loss": eikonal_loss,
+        "s_val": jnp.mean(out.s_val),
+        "psnr": psnr,
+    }
+
+
+def forward_pipeline(
+    params: dict,
+    buffers: dict,
+    cfg: SystemConfig,
+    camera: CameraModel,
+    batch: PixelBundle,
+    key: jax.Array | None,
+    *,
+    is_training: bool,
+    geometry_warmup: bool,
+    cos_anneal_ratio,
+) -> RenderOutput:
+    """Ray generation + rendering (the reference pipeline.forward)."""
+    rays = generate_rays(params["raygen"], buffers, camera, cfg.ray_generator, batch)
+    background_rgb = (
+        jnp.ones((1, 3)) if cfg.data.white_background else jnp.zeros((1, 3))
+    )
+    return render_rays(
+        params["renderer"],
+        cfg.model,
+        rays,
+        key,
+        is_training=is_training,
+        geometry_warmup=geometry_warmup,
+        cos_anneal_ratio=cos_anneal_ratio,
+        background_rgb=background_rgb,
+    )
+
+
+def make_train_step(
+    cfg: SystemConfig,
+    camera: CameraModel,
+    buffers: dict,
+    optimizer: optax.GradientTransformation,
+    *,
+    geometry_warmup: bool = False,
+    donate: bool = True,
+):
+    """Build the jitted train step for one (static) phase.
+
+    The trainer holds two of these when geometry warmup is configured
+    (warmup phase / normal phase) and switches at the warmup boundary —
+    keeping both graphs free of dead branches.
+    """
+    mcfg: ModelConfig = cfg.model
+    anneal_end = mcfg.anneal_end
+
+    def step_fn(state: TrainState, batch: PixelBundle, key: jax.Array):
+        cos_anneal_ratio = (
+            jnp.minimum(1.0, state.step.astype(jnp.float32) / anneal_end)
+            if anneal_end > 0
+            else jnp.asarray(1.0)
+        )
+
+        def loss_fn(params):
+            out = forward_pipeline(
+                params,
+                buffers,
+                cfg,
+                camera,
+                batch,
+                key,
+                is_training=True,
+                geometry_warmup=geometry_warmup,
+                cos_anneal_ratio=cos_anneal_ratio,
+            )
+            loss, metrics = compute_loss_dict(out, batch.rgb_gt, mcfg.igr_weight)
+            return loss, metrics
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def init_train_state(params: dict, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        opt_state=optimizer.init(params),
+    )

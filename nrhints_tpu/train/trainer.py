@@ -1,0 +1,389 @@
+"""Training orchestration: setup, hot loop, interval hooks (checkpoint /
+eval / mesh / video), resume, and observability.
+
+Reference surface: ``trainer/trainer.py`` in iamNCJ/NRHints (1M-step loop,
+interval-driven save/test/mesh/video, per-rank sampler seeds, RNG-state
+checkpointing, resume-newest).  The distributed architecture is rebuilt
+TPU-native per SURVEY.md §5.8: no subprocess launcher, no NCCL, no DDP —
+one process per host, a ('data',) mesh over all chips, sharded batches,
+replicated params, XLA-fused gradient psum.  Eval views are strided over
+hosts like the reference strides them over ranks.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nrhints_tpu.camera.rays import ray_generator_init
+from nrhints_tpu.configs.cli import config_to_dict
+from nrhints_tpu.configs.config import SystemConfig
+from nrhints_tpu.data.manager import DataManager
+from nrhints_tpu.data.parser import SceneData, parse_load_nr_data
+from nrhints_tpu.eval.evaluator import Evaluator
+from nrhints_tpu.parallel import mesh as mesh_lib
+from nrhints_tpu.render.renderer import extract_sdf_grid, init_model_params
+from nrhints_tpu.train.checkpoint import CheckpointIO
+from nrhints_tpu.train.logging import MetricsLogger
+from nrhints_tpu.train.step import (
+    TrainState,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+
+class Trainer:
+    def __init__(self, config: SystemConfig, scene: Optional[SceneData] = None):
+        self.config = config
+
+        if config.parallel.multihost:
+            mesh_lib.initialize_multihost()
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+
+        # Device mesh for ray data-parallelism.
+        n_dev = len(jax.devices())
+        axis = config.parallel.data_axis_size
+        self.mesh = mesh_lib.make_mesh(axis if axis != -1 else n_dev)
+
+        # Run dir + config dump + logger.
+        self.log_dir = (
+            pathlib.Path(config.base_dir) / config.exp_name / config.scene_name
+        )
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        if self.is_main_process:
+            (self.log_dir / "config.json").write_text(
+                json.dumps(config_to_dict(config), indent=2)
+            )
+        self.logger = MetricsLogger(self.log_dir)
+
+        # Data.
+        if scene is None:
+            scene = parse_load_nr_data(
+                config.data.path,
+                half_res=config.data.half_res,
+                white_background=config.data.white_background,
+            )
+        self.scene = scene
+        self.camera = scene.camera
+
+        # Global batch is constant across world sizes (reference
+        # trainer.py:118) unless scale_global_batch is set.
+        global_batch = config.model.batch_size
+        if config.parallel.scale_global_batch:
+            global_batch *= n_dev
+        if global_batch % self.process_count:
+            raise ValueError("batch size must divide the number of hosts")
+        self.local_batch = global_batch // self.process_count
+        self.global_batch = global_batch
+
+        self.data_manager = DataManager(
+            scene,
+            batch_size=self.local_batch,
+            strategy=config.data.pixel_sampling_strategy,
+            training_view_num_limit=config.data.view_num_limit,
+            image_idx_rng_seed=config.seed,
+            pixel_idx_rng_seed=config.seed,
+            local_rank=self.process_index,
+        )
+
+        # Params / optimizer / state.
+        key = jax.random.PRNGKey(config.seed)
+        k_model, k_raygen, self._train_key = jax.random.split(key, 3)
+        renderer_params = init_model_params(k_model, config.model)
+        raygen_params, self.buffers = ray_generator_init(
+            k_raygen, config.ray_generator, scene.total_image_num
+        )
+        params = {"renderer": renderer_params, "raygen": raygen_params}
+        self.optimizer = make_optimizer(config)
+        self.state: TrainState = init_train_state(params, self.optimizer)
+        self.state = mesh_lib.replicate(self.mesh, self.state)
+        self.buffers = mesh_lib.replicate(self.mesh, self.buffers)
+
+        # Two static train-step variants (geometry warmup / normal).
+        self._step_normal = make_train_step(
+            config, self.camera, self.buffers, self.optimizer, geometry_warmup=False
+        )
+        self._step_warmup = (
+            make_train_step(
+                config, self.camera, self.buffers, self.optimizer, geometry_warmup=True
+            )
+            if config.model.geometry_warmup_end > 0
+            else None
+        )
+
+        self.evaluator = Evaluator(config, self.camera, self.buffers)
+        self.ckpt_io = CheckpointIO(self.log_dir)
+        self.global_step = 0
+        self._load_ckpt()
+
+    # ------------------------------------------------------------------
+
+    @property
+    def is_main_process(self) -> bool:
+        return self.process_index == 0
+
+    def _load_ckpt(self) -> None:
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.state
+        )
+        state, step = self.ckpt_io.load_newest(abstract, self.config.ckpt_path)
+        if state is None:
+            return
+        self.state = mesh_lib.replicate(self.mesh, state)
+        self.global_step = int(step) if step is not None else int(state.step)
+        last_world = self.ckpt_io.load_world_size(self.global_step)
+        if last_world is None or last_world == self.process_count:
+            sidecar = self.ckpt_io.load_rng_sidecar(self.global_step)
+            if sidecar is not None:
+                self.data_manager.sampler.set_state(sidecar["sampler"])
+                self._train_key = jnp.asarray(sidecar["train_key"])
+
+    def _save_ckpt(self) -> None:
+        self.ckpt_io.save(
+            self.global_step,
+            jax.device_get(self.state),
+            rng_sidecar={
+                "sampler": self.data_manager.sampler.get_state(),
+                "train_key": np.asarray(self._train_key),
+            },
+            world_size=self.process_count,
+        )
+
+    # ------------------------------------------------------------------
+
+    def train_iter(self) -> dict:
+        batch = self.data_manager.next_train_batch()
+        batch = mesh_lib.shard_batch(self.mesh, batch)
+        key = jax.random.fold_in(self._train_key, self.global_step)
+        step_fn = (
+            self._step_warmup
+            if self._step_warmup is not None
+            and self.global_step < self.config.model.geometry_warmup_end
+            else self._step_normal
+        )
+        self.state, metrics = step_fn(self.state, batch, key)
+        return metrics
+
+    def run(self) -> None:
+        cfg = self.config
+        intervals = cfg.intervals
+        if not cfg.evaluation_only:
+            last_log_t = time.time()
+            last_log_step = self.global_step
+            metrics = {}
+            while self.global_step < cfg.model.end_iter:
+                metrics = self.train_iter()
+                self.global_step += 1
+                gs = self.global_step
+                if gs % intervals.log_metrics == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    now = time.time()
+                    steps = gs - last_log_step
+                    if steps > 0 and now > last_log_t:
+                        m["steps_per_sec"] = steps / (now - last_log_t)
+                        m["rays_per_sec"] = m["steps_per_sec"] * self.global_batch
+                    last_log_t, last_log_step = now, gs
+                    if self.is_main_process:
+                        self.logger.log(m, gs)
+                if gs % intervals.save_ckpt == 0:
+                    self._save_ckpt()
+                if gs % intervals.render_test_views == 0:
+                    self.render_test_views()
+                if gs % intervals.dump_mesh == 0:
+                    self.dump_mesh()
+                if gs % intervals.render_video == 0:
+                    self.render_video()
+
+        self.dump_mesh(resolution=cfg.final_mesh_resolution)
+        self.render_test_views(is_final=True)
+
+    # ------------------------------------------------------------------
+
+    def render_test_views(self, is_final: bool = False) -> dict:
+        """Strided view assignment over hosts + metric mean (reference
+        trainer.py:285-325; the NCCL gather_object becomes a host
+        allgather)."""
+        total = self.data_manager.test_view_num
+        skip = 1 if is_final else self.config.data.testset_skip
+        start = self.process_index * skip
+        params = jax.device_get(self.state.params)
+
+        metrics_list = []
+        for idx in range(start, total, skip * self.process_count):
+            pixels = self.data_manager.get_test_view(idx)
+            img_dict, metrics, tensor_dict = self.evaluator.get_eval_dicts(params, pixels)
+            self._save_dumps(idx, img_dict, tensor_dict)
+            if idx == 0 and self.is_main_process:
+                for k, v in img_dict.items():
+                    img = v * 0.5 + 0.5 if "normal" in k else v
+                    self.logger.log_image(k, img, self.global_step)
+            metrics_list.append(metrics)
+
+        if self.process_count > 1:
+            from jax.experimental import multihost_utils
+
+            gathered = multihost_utils.process_allgather(
+                _metrics_to_array(metrics_list)
+            )
+            all_metrics = _array_to_metrics(gathered)
+        else:
+            all_metrics = [m for m in metrics_list if m]
+
+        means: dict = {}
+        if all_metrics:
+            keys = all_metrics[0].keys()
+            means = {
+                f"val/{k}": float(np.mean([m[k] for m in all_metrics])) for k in keys
+            }
+            if self.is_main_process:
+                self.logger.log(means, self.global_step)
+        return means
+
+    def _save_dumps(self, view_idx: int, img_dict: dict, tensor_dict: dict) -> None:
+        import imageio.v3 as iio
+
+        dump_dir = self.log_dir / "test_views" / f"step_{self.global_step:07d}"
+        dump_dir.mkdir(parents=True, exist_ok=True)
+        for k, v in img_dict.items():
+            if "normal" in k:
+                v = v * 0.5 + 0.5
+            if v.shape[-1] == 1:
+                v = v[..., 0]
+            iio.imwrite(
+                dump_dir / f"{k}_{view_idx:03d}.png",
+                (np.clip(v * 255, 0, 255)).astype(np.uint8),
+            )
+        for k, v in tensor_dict.items():
+            np.save(dump_dir / f"{k}_{view_idx:03d}.npy", v)
+
+    # ------------------------------------------------------------------
+
+    def dump_mesh(self, resolution: int = 256) -> Optional[pathlib.Path]:
+        """SDF grid on device, marching cubes on host (native extension),
+        OBJ to disk (reference trainer.py:365-380)."""
+        if not self.is_main_process:
+            return None
+        mesh_dir = self.log_dir / "mesh"
+        mesh_dir.mkdir(parents=True, exist_ok=True)
+        params = jax.device_get(self.state.params)
+        grid = np.asarray(
+            extract_sdf_grid(
+                params["renderer"],
+                self.config.model,
+                [-1.01, -1.01, -1.01],
+                [1.01, 1.01, 1.01],
+                resolution,
+            )
+        )
+        out_path = mesh_dir / f"step_{self.global_step:07d}_res_{resolution}.obj"
+        try:
+            from nrhints_tpu.eval.mesh_export import marching_cubes_to_obj
+
+            marching_cubes_to_obj(
+                grid, 0.0, [-1.01] * 3, [1.01] * 3, out_path
+            )
+            return out_path
+        except Exception as e:  # native ext missing — keep the raw field
+            npy_path = mesh_dir / f"step_{self.global_step:07d}_res_{resolution}_sdfgrid.npy"
+            np.save(npy_path, grid)
+            print(f"marching cubes unavailable ({e!r}); dumped SDF grid to {npy_path}")
+            return npy_path
+
+    # ------------------------------------------------------------------
+
+    def render_video(self) -> None:
+        """Frame-strided video rendering over hosts; every host writes its
+        frames to the run dir, the main process encodes the two clips
+        (reference trainer.py:382-421 without the NCCL P2P relay)."""
+        video_dir = self.log_dir / "video"
+        frame_dir = video_dir / f"step_{self.global_step:07d}"
+        frame_dir.mkdir(parents=True, exist_ok=True)
+        bundles = self.data_manager.get_video_pixel_bundles(
+            self.config.data.video_frame_num, is_z_up=self.config.data.is_z_up
+        )
+        params = jax.device_get(self.state.params)
+
+        n = len(bundles)
+        frames_per = -(-n // self.process_count)
+        for i in range(frames_per):
+            idx = i + frames_per * self.process_index
+            if idx >= n:
+                break
+            res = self.evaluator.render_image(params, bundles[idx])
+            rgb = (np.clip(res["rgb"] * 255, 0, 255)).astype(np.uint8)
+            import imageio.v3 as iio
+
+            iio.imwrite(frame_dir / f"{idx:03d}.png", rgb)
+
+        if self.process_count > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("video_frames")
+
+        if self.is_main_process:
+            self._encode_videos(frame_dir, video_dir, n)
+
+    def _encode_videos(self, frame_dir, video_dir, n_frames: int) -> None:
+        import imageio.v3 as iio
+
+        frames = []
+        for idx in range(n_frames):
+            p = frame_dir / f"{idx:03d}.png"
+            if not p.exists():
+                print(f"video frame {idx} missing; skipping mp4 encode")
+                return
+            frames.append(iio.imread(p))
+        video = np.stack(frames)
+        half = self.config.data.video_frame_num
+        try:
+            iio.imwrite(
+                video_dir / f"step_{self.global_step:06d}_rot_view.mp4",
+                video[:half],
+                fps=30,
+            )
+            iio.imwrite(
+                video_dir / f"step_{self.global_step:06d}_rot_light.mp4",
+                video[half:],
+                fps=30,
+            )
+        except Exception as e:
+            print(f"mp4 encode unavailable ({e!r}); PNG frames kept in {frame_dir}")
+
+
+def _metrics_to_array(metrics_list):
+    """Fixed-key metric dicts -> [n, k] array for allgather (padded)."""
+    keys = ("psnr", "ssim", "lpips")
+    arr = np.full((max(len(metrics_list), 1), len(keys)), np.nan, dtype=np.float32)
+    for i, m in enumerate(metrics_list):
+        for j, k in enumerate(keys):
+            if k in m:
+                arr[i, j] = m[k]
+    return arr
+
+
+def _array_to_metrics(arr):
+    keys = ("psnr", "ssim", "lpips")
+    arr = np.asarray(arr).reshape(-1, len(keys))
+    out = []
+    for row in arr:
+        m = {k: float(v) for k, v in zip(keys, row) if np.isfinite(v)}
+        if m:
+            out.append(m)
+    return out
+
+
+def launch(config: SystemConfig) -> Trainer:
+    """Build a trainer and run it (the reference launch() without the
+    subprocess fan-out — multi-chip is the mesh's job, multi-host is one
+    process per host started by the cluster runtime)."""
+    trainer = Trainer(config)
+    trainer.run()
+    return trainer
