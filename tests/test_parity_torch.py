@@ -1,0 +1,293 @@
+"""Golden-parity tests vs the PyTorch reference: identical weights in, the
+TPU implementation must reproduce the reference's outputs — encodings,
+fields, sampling, the full renderer forward, and pixel gradients
+(BASELINE.md allclose gate)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from tests.torch_ref import (
+    import_reference,
+    renderer_torch_to_params,
+    reflectance_torch_to_params,
+    sdf_torch_to_params,
+)
+
+from nrhints_tpu.core.encodings import nerf_encoding
+from nrhints_tpu.core.lie import exp_map_SE3, exp_map_SO3xR3
+from nrhints_tpu.core.sampling import neus_up_sample, sample_pdf
+from nrhints_tpu.core.structs import RayBundle
+from nrhints_tpu.fields.reflectance import ReflectanceNetConfig, reflectance_forward
+from nrhints_tpu.fields.sdf import SDFNetConfig, sdf_forward, sdf_value_feat_grad
+from nrhints_tpu.render.renderer import ModelConfig, RendererConfig, render_rays
+
+REF = import_reference()
+
+
+@pytest.fixture(scope="module")
+def torch_renderer():
+    torch.manual_seed(0)
+    cfg = REF.neus.NeuSModelConfig()
+    return REF.neus.NeuSHintRenderer(cfg), cfg
+
+
+@pytest.fixture(scope="module")
+def jx_params(torch_renderer):
+    renderer, _ = torch_renderer
+    return jax.tree_util.tree_map(jnp.asarray, renderer_torch_to_params(renderer))
+
+
+def test_nerf_encoding_parity():
+    enc_t = REF.encodings.NeRFEncoding(in_dim=3, num_frequencies=6, include_input=True)
+    x = np.random.default_rng(0).standard_normal((32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = enc_t(torch.tensor(x)).numpy()
+    got = np.asarray(nerf_encoding(jnp.asarray(x), 6, include_input=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_lie_group_parity():
+    rng = np.random.default_rng(1)
+    tangent = rng.standard_normal((32, 6)).astype(np.float32)
+    with torch.no_grad():
+        ref_so3 = REF.lie_groups.exp_map_SO3xR3(torch.tensor(tangent)).numpy()
+        ref_se3 = REF.lie_groups.exp_map_SE3(torch.tensor(tangent)).numpy()
+    np.testing.assert_allclose(np.asarray(exp_map_SO3xR3(jnp.asarray(tangent))), ref_so3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(exp_map_SE3(jnp.asarray(tangent))), ref_se3, atol=1e-5)
+
+
+def test_sdf_field_parity(torch_renderer, jx_params):
+    renderer, _ = torch_renderer
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = renderer.sdf_network(torch.tensor(pts)).numpy()
+    got = np.asarray(sdf_forward(jx_params["sdf"], SDFNetConfig(), jnp.asarray(pts)))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_sdf_gradient_parity(torch_renderer, jx_params):
+    renderer, _ = torch_renderer
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-1, 1, (32, 3)).astype(np.float32)
+    ref_grad = (
+        renderer.sdf_network.gradient(torch.tensor(pts)).squeeze(1).detach().numpy()
+    )
+    _, _, got_grad = sdf_value_feat_grad(jx_params["sdf"], SDFNetConfig(), jnp.asarray(pts))
+    np.testing.assert_allclose(np.asarray(got_grad), ref_grad, atol=1e-4)
+
+
+def test_reflectance_parity(torch_renderer, jx_params):
+    renderer, _ = torch_renderer
+    rng = np.random.default_rng(4)
+    n = 48
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    normals = rng.standard_normal((n, 3)).astype(np.float32)
+    views = rng.standard_normal((n, 3)).astype(np.float32)
+    feats = rng.standard_normal((n, 256)).astype(np.float32)
+    pls = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    vis = rng.uniform(0, 1, (n, 1)).astype(np.float32)
+    spec = rng.uniform(0, 0.1, (n, 4)).astype(np.float32)
+    with torch.no_grad():
+        ref = renderer.color_network(
+            *(torch.tensor(a) for a in (pts, normals, views, feats, pls, vis, spec))
+        ).numpy()
+    got = reflectance_forward(
+        jx_params["color"], ReflectanceNetConfig(),
+        *(jnp.asarray(a) for a in (pts, normals, views, feats, pls, vis, spec)),
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5)
+
+
+def test_sample_pdf_parity():
+    rng = np.random.default_rng(5)
+    bins = np.sort(rng.uniform(0, 4, (8, 17)).astype(np.float32), -1)
+    weights = rng.uniform(0, 1, (8, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = REF.neus.sample_pdf(
+            torch.tensor(bins), torch.tensor(weights), 16, det=True
+        ).numpy()
+    got = np.asarray(sample_pdf(jnp.asarray(bins), jnp.asarray(weights), 16, det=True))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_up_sample_parity(torch_renderer, jx_params):
+    renderer, _ = torch_renderer
+    rng = np.random.default_rng(6)
+    B = 8
+    rays_o = np.zeros((B, 3), np.float32)
+    rays_o[:, 2] = -2.5
+    rays_d = rng.normal(0, 0.05, (B, 3)).astype(np.float32)
+    rays_d[:, 2] += 1.0
+    rays_d /= np.linalg.norm(rays_d, -1, keepdims=True)
+    z_vals = np.linspace(1.5, 3.5, 64, dtype=np.float32)[None].repeat(B, 0)
+    pts = rays_o[:, None] + rays_d[:, None] * z_vals[..., None]
+    with torch.no_grad():
+        sdf_t = renderer.sdf_network.sdf(torch.tensor(pts.reshape(-1, 3))).reshape(B, 64)
+        ref = renderer.up_sample(
+            torch.tensor(rays_o), torch.tensor(rays_d), torch.tensor(z_vals), sdf_t, 16, 64
+        ).numpy()
+    sdf_j = np.asarray(sdf_t.numpy())
+    got = np.asarray(
+        neus_up_sample(
+            jnp.asarray(rays_o), jnp.asarray(rays_d), jnp.asarray(z_vals),
+            jnp.asarray(sdf_j), 16, 64.0,
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def _make_rays(B=6, seed=7):
+    rng = np.random.default_rng(seed)
+    rays_o = np.zeros((B, 3), np.float32)
+    rays_o[:, 2] = -2.5
+    rays_d = rng.normal(0, 0.08, (B, 3)).astype(np.float32)
+    rays_d[:, 2] += 1.0
+    rays_d /= np.linalg.norm(rays_d, -1, keepdims=True)
+    pls = np.tile(np.array([[1.5, 2.0, 2.0]], np.float32), (B, 1))
+    mid = -np.sum(rays_o * rays_d, -1, keepdims=True)
+    return rays_o, rays_d, pls, mid - 1.0, mid + 1.0
+
+
+def _torch_ray_bundle(rays_o, rays_d, pls, near, far):
+    return REF.ray_utils.RayBundle(
+        origins=torch.tensor(rays_o),
+        directions=torch.tensor(rays_d),
+        pl_positions=torch.tensor(pls),
+        nears=torch.tensor(near),
+        fars=torch.tensor(far),
+    )
+
+
+@pytest.fixture(scope="module")
+def parity_outputs(torch_renderer, jx_params):
+    """Run both full renderers in eval mode on identical rays."""
+    renderer, _ = torch_renderer
+    rays_o, rays_d, pls, near, far = _make_rays()
+    with torch.no_grad():
+        ref = renderer.forward(
+            _torch_ray_bundle(rays_o, rays_d, pls, near, far),
+            is_training=False,
+            background_rgb=torch.ones([1, 3]),
+        )
+    cfg = ModelConfig()
+    got = render_rays(
+        jx_params,
+        cfg,
+        RayBundle(
+            origins=jnp.asarray(rays_o),
+            directions=jnp.asarray(rays_d),
+            pl_positions=jnp.asarray(pls),
+            nears=jnp.asarray(near),
+            fars=jnp.asarray(far),
+        ),
+        background_rgb=jnp.ones((1, 3)),
+    )
+    return ref, got
+
+
+def test_full_render_rgb_parity(parity_outputs):
+    ref, got = parity_outputs
+    np.testing.assert_allclose(
+        np.asarray(got.rgb), ref.rgb.detach().numpy(), atol=5e-4
+    )
+
+
+def test_full_render_weights_parity(parity_outputs):
+    ref, got = parity_outputs
+    np.testing.assert_allclose(
+        np.asarray(got.weights), ref.weights.detach().numpy(), atol=5e-4
+    )
+
+
+def test_full_render_depth_parity(parity_outputs):
+    ref, got = parity_outputs
+    np.testing.assert_allclose(
+        np.asarray(got.depth), ref.depth.detach().numpy(), atol=1e-3
+    )
+
+
+def test_full_render_shadow_hint_parity(parity_outputs):
+    ref, got = parity_outputs
+    np.testing.assert_allclose(
+        np.asarray(got.visibilities), ref.visibilities.detach().numpy(), atol=1e-3
+    )
+
+
+def test_full_render_specular_hint_parity(parity_outputs):
+    ref, got = parity_outputs
+    np.testing.assert_allclose(
+        np.asarray(got.specular_cue), ref.specular_cue.detach().numpy(), atol=1e-4
+    )
+
+
+def test_full_render_s_val_parity(parity_outputs):
+    ref, got = parity_outputs
+    np.testing.assert_allclose(
+        float(np.asarray(got.s_val).mean()), float(ref.s_val.mean()), rtol=1e-5
+    )
+
+
+def test_pixel_gradient_parity(torch_renderer, jx_params):
+    """d loss / d params must match the reference's autograd — including the
+    double-backward through SDF normals (the eikonal term)."""
+    renderer, _ = torch_renderer
+    rays_o, rays_d, pls, near, far = _make_rays(B=4, seed=8)
+    gt = np.full((4, 3), 0.5, np.float32)
+
+    # Reference: cos_anneal=1, no perturb (is_training=False) but grads on.
+    ref_out = renderer.forward(
+        _torch_ray_bundle(rays_o, rays_d, pls, near, far),
+        is_training=False,
+        background_rgb=torch.ones([1, 3]),
+    )
+    rgb_loss = torch.nn.functional.l1_loss(
+        ref_out.rgb, torch.tensor(gt), reduction="sum"
+    ) / (4 + 1e-5)
+    grad_err = (torch.linalg.norm(ref_out.analytic_normals, ord=2, dim=-1) - 1.0) ** 2
+    mask = ref_out.relax_inside_sphere
+    eik = (mask * grad_err).sum() / (mask.sum() + 1e-5)
+    loss_t = rgb_loss + 0.1 * eik
+    renderer.zero_grad()
+    loss_t.backward()
+
+    cfg = ModelConfig()
+
+    def loss_fn(params):
+        out = render_rays(
+            params,
+            cfg,
+            RayBundle(
+                origins=jnp.asarray(rays_o),
+                directions=jnp.asarray(rays_d),
+                pl_positions=jnp.asarray(pls),
+                nears=jnp.asarray(near),
+                fars=jnp.asarray(far),
+            ),
+            background_rgb=jnp.ones((1, 3)),
+        )
+        rgb_l = jnp.sum(jnp.abs(out.rgb - gt)) / (4 + 1e-5)
+        ge = (jnp.linalg.norm(out.analytic_normals, axis=-1) - 1.0) ** 2
+        m = out.relax_inside_sphere
+        return rgb_l + 0.1 * jnp.sum(m * ge) / (jnp.sum(m) + 1e-5)
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(jx_params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()), rtol=1e-4)
+
+    checks = [
+        ("sdf.lin0.v", grads["sdf"]["lin0"]["v"], renderer.sdf_network.lin0.weight_v.grad.numpy().T),
+        ("sdf.lin4.v", grads["sdf"]["lin4"]["v"], renderer.sdf_network.lin4.weight_v.grad.numpy().T),
+        ("sdf.out_sdf.b", grads["sdf"]["out_sdf"]["b"], renderer.sdf_network.out_sdf.bias.grad.numpy()),
+        ("color.lin0.v", grads["color"]["lin0"]["v"], renderer.color_network.lin0.weight_v.grad.numpy().T),
+        ("color.lin4.b", grads["color"]["lin4"]["b"], renderer.color_network.lin4.bias.grad.numpy()),
+        ("variance", grads["variance"]["variance"], renderer.deviation_network.variance.grad.numpy()),
+    ]
+    for name, got_g, ref_g in checks:
+        got_g = np.asarray(got_g)
+        scale = max(np.abs(ref_g).max(), 1e-8)
+        np.testing.assert_allclose(
+            got_g, ref_g, atol=2e-3 * scale, rtol=2e-3,
+            err_msg=f"gradient mismatch for {name}",
+        )

@@ -1,0 +1,108 @@
+"""Harness for golden-parity tests: loads the PyTorch reference (read-only at
+/root/reference) and converts its weights into nrhints_tpu param pytrees.
+
+The reference is imported as-is (with a stub for its unused-at-test-time
+``mcubes`` dependency); nothing from it is vendored into this repo — it is
+only executed to produce golden outputs the TPU implementation must match
+(BASELINE.md: images and pixel gradients allclose).
+"""
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+
+_REFERENCE_PATH = "/root/reference"
+
+
+def import_reference():
+    """Make the reference package importable; returns its module namespace."""
+    if "mcubes" not in sys.modules:
+        sys.modules["mcubes"] = types.ModuleType("mcubes")
+    if _REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, _REFERENCE_PATH)
+    import models.neus_hint_model as neus  # noqa
+    import fields.sdf_field as sdf_field  # noqa
+    import fields.reflectance_network as refl  # noqa
+    import fields.nerf_density_field as bg  # noqa
+    import fields.encodings as encodings  # noqa
+    import camera.ray_utils as ray_utils  # noqa
+    import camera.lie_groups as lie_groups  # noqa
+
+    return types.SimpleNamespace(
+        neus=neus,
+        sdf_field=sdf_field,
+        refl=refl,
+        bg=bg,
+        encodings=encodings,
+        ray_utils=ray_utils,
+        lie_groups=lie_groups,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weight conversion: torch modules -> nrhints_tpu param pytrees
+
+
+def _wn_linear_to_params(lin) -> dict:
+    """torch weight_norm'd nn.Linear -> {'v': [in,out], 'g': [out], 'b': [out]}."""
+    import torch
+
+    with torch.no_grad():
+        v = lin.weight_v.detach().cpu().numpy().T.copy()
+        g = lin.weight_g.detach().cpu().numpy().reshape(-1).copy()
+        b = lin.bias.detach().cpu().numpy().copy()
+    return {"v": v, "g": g, "b": b}
+
+
+def _linear_to_params(lin) -> dict:
+    import torch
+
+    with torch.no_grad():
+        return {
+            "w": lin.weight.detach().cpu().numpy().T.copy(),
+            "b": lin.bias.detach().cpu().numpy().copy(),
+        }
+
+
+def sdf_torch_to_params(net) -> dict:
+    params = {}
+    for i in range(net.num_layers - 2):
+        params[f"lin{i}"] = _wn_linear_to_params(getattr(net, f"lin{i}"))
+    params["out_sdf"] = _wn_linear_to_params(net.out_sdf)
+    params["out_feat"] = _wn_linear_to_params(net.out_feat)
+    return params
+
+
+def reflectance_torch_to_params(net) -> dict:
+    return {
+        f"lin{i}": _wn_linear_to_params(getattr(net, f"lin{i}"))
+        for i in range(net.num_layers - 1)
+    }
+
+
+def bg_nerf_torch_to_params(net) -> dict:
+    params = {}
+    for i, lin in enumerate(net.pts_linears):
+        params[f"pts_lin{i}"] = _linear_to_params(lin)
+    params["views_lin0"] = _linear_to_params(net.views_linears[0])
+    params["feature"] = _linear_to_params(net.feature_linear)
+    params["alpha"] = _linear_to_params(net.alpha_linear)
+    params["rgb"] = _linear_to_params(net.rgb_linear)
+    return params
+
+
+def renderer_torch_to_params(renderer) -> dict:
+    import torch
+
+    params = {
+        "sdf": sdf_torch_to_params(renderer.sdf_network),
+        "variance": {
+            "variance": renderer.deviation_network.variance.detach().cpu().numpy().copy()
+        },
+        "color": reflectance_torch_to_params(renderer.color_network),
+    }
+    if getattr(renderer, "has_outside_nerf", False):
+        params["bg"] = bg_nerf_torch_to_params(renderer.outside_nerf)
+    return params
