@@ -66,7 +66,10 @@ def sample_pdf(
         assert key is not None, "non-deterministic sample_pdf needs a PRNG key"
         u = jax.random.uniform(key, (*cdf.shape[:-1], n_samples), dtype=cdf.dtype)
 
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # Vectorized right-searchsorted: count of cdf entries <= u.  The bin
+    # count is small (<=129), so a [B, n_samples, n_bins] comparison tensor
+    # is far cheaper on the TPU's VPU than a per-row binary search.
+    inds = jnp.sum(u[..., :, None] >= cdf[..., None, :], axis=-1).astype(jnp.int32)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
 
@@ -146,11 +149,34 @@ def merge_z_vals(
     Reference ``cat_z_vals`` (``:317-331``); here the SDF evaluation at new
     points is the caller's job so this stays field-agnostic.
     """
-    z_cat = jnp.concatenate([z_vals, new_z_vals], axis=-1)
-    order = jnp.argsort(z_cat, axis=-1)
-    z_sorted = jnp.take_along_axis(z_cat, order, axis=-1)
+    # Both inputs are already sorted (z_vals by construction, new_z_vals
+    # because det inverse-CDF sampling is monotone), so instead of a bitonic
+    # sort of the concatenation we compute merge ranks by counting — two
+    # small comparison tensors and scatters, much cheaper on the VPU.  Tie
+    # ranks match a stable sort of concat([z, new]): old before new.
+    batch, n = z_vals.shape
+    m = new_z_vals.shape[-1]
+    r_old = jnp.arange(n) + jnp.sum(
+        new_z_vals[:, None, :] < z_vals[:, :, None], axis=-1
+    )
+    r_new = jnp.arange(m) + jnp.sum(
+        z_vals[:, None, :] <= new_z_vals[:, :, None], axis=-1
+    )
+    bidx = jnp.arange(batch)[:, None]
+    z_sorted = (
+        jnp.zeros((batch, n + m), z_vals.dtype)
+        .at[bidx, r_old]
+        .set(z_vals)
+        .at[bidx, r_new]
+        .set(new_z_vals)
+    )
     if sdf is None:
         return z_sorted, None
-    sdf_cat = jnp.concatenate([sdf, new_sdf], axis=-1)
-    sdf_sorted = jnp.take_along_axis(sdf_cat, order, axis=-1)
+    sdf_sorted = (
+        jnp.zeros((batch, n + m), sdf.dtype)
+        .at[bidx, r_old]
+        .set(sdf)
+        .at[bidx, r_new]
+        .set(new_sdf)
+    )
     return z_sorted, sdf_sorted

@@ -127,3 +127,17 @@ def sdf_value_feat_grad(
     cot = jnp.zeros_like(out).at[..., 0].set(1.0)
     (grad,) = vjp_fn(cot)
     return out[..., 0], out[..., 1:], grad
+
+
+def sdf_value_and_dirderiv(
+    params: dict, cfg: SDFNetConfig, x: jnp.ndarray, dirs: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(sdf [N], dirs . grad_x sdf [N]) via ONE forward-mode tangent.
+
+    Used by the shadow march, whose SDF->alpha conversion only consumes the
+    ray-direction cosine of the gradient — a single JVP is ~2x cheaper than
+    materializing the full gradient through a VJP.
+    """
+    f = lambda p: sdf_forward(params, cfg, p)[..., 0]
+    sdf, dcos = jax.jvp(f, (x,), (dirs,))
+    return sdf, dcos

@@ -54,6 +54,7 @@ from nrhints_tpu.fields.sdf import (
     sdf_forward,
     sdf_init,
     sdf_only,
+    sdf_value_and_dirderiv,
     sdf_value_feat_grad,
 )
 from nrhints_tpu.fields.variance import VarianceConfig, inv_s_from_params, variance_init
@@ -152,6 +153,16 @@ def _neus_alpha(
     """Alpha from section SDF via the sigmoid-CDF ratio with cos annealing
     (reference get_alpha, ``models/neus_hint_model.py:333-357``)."""
     true_cos = jnp.sum(dirs * grads, axis=-1)
+    return _neus_alpha_from_cos(sdf, true_cos, dists, inv_s, cos_anneal_ratio)
+
+
+def _neus_alpha_from_cos(
+    sdf: jnp.ndarray,
+    true_cos: jnp.ndarray,
+    dists: jnp.ndarray,
+    inv_s: jnp.ndarray,
+    cos_anneal_ratio,
+) -> jnp.ndarray:
     iter_cos = -(
         jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
         + jax.nn.relu(-true_cos) * cos_anneal_ratio
@@ -254,10 +265,10 @@ def _shadow_transmittance(
     pts = (ray_o[:, None, :] + ray_d[:, None, :] * mid_z[..., :, None]).reshape(-1, 3)
     dirs = jnp.broadcast_to(ray_d[:, None, :], (batch, n_total, 3)).reshape(-1, 3)
 
-    sdf_v, _, grads = sdf_value_feat_grad(params["sdf"], cfg.sdf_network, pts)
+    sdf_v, dcos = sdf_value_and_dirderiv(params["sdf"], cfg.sdf_network, pts, dirs)
     inv_s = inv_s_from_params(params["variance"])
-    alpha = _neus_alpha(
-        sdf_v, grads, dirs, dists.reshape(-1), inv_s, cos_anneal_ratio
+    alpha = _neus_alpha_from_cos(
+        sdf_v, dcos, dists.reshape(-1), inv_s, cos_anneal_ratio
     ).reshape(batch, n_total)
     taus = transmittance(alpha)
     return taus[..., -1:]

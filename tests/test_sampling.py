@@ -79,7 +79,9 @@ def test_perturb_within_bins_stays_sorted():
 def test_merge_z_vals_sorted_and_consistent():
     rng = np.random.default_rng(3)
     z = np.sort(rng.uniform(0, 1, (3, 8)).astype(np.float32), -1)
-    new_z = rng.uniform(0, 1, (3, 4)).astype(np.float32)
+    # merge_z_vals requires BOTH inputs sorted (det inverse-CDF output is
+    # monotone, so this always holds in the pipeline).
+    new_z = np.sort(rng.uniform(0, 1, (3, 4)).astype(np.float32), -1)
     sdf = rng.standard_normal((3, 8)).astype(np.float32)
     new_sdf = rng.standard_normal((3, 4)).astype(np.float32)
     zm, sm = merge_z_vals(jnp.asarray(z), jnp.asarray(new_z), jnp.asarray(sdf), jnp.asarray(new_sdf))
