@@ -1,0 +1,450 @@
+"""Fused Pallas TPU kernels for the hierarchical SDF marches.
+
+Two kernels built from one shared round body:
+
+* ``fused_importance_z`` — the 4-round NeuS importance refinement of the
+  primary ray march (replaces ``_importance_sample_z``'s XLA graph).
+* ``fused_shadow_tau`` — the full shadow-hint march: 4 refinement rounds
+  plus the final SDF + directional-derivative sweep and transmittance
+  accumulation, returning one tau per shadow ray (replaces
+  ``_shadow_transmittance``).
+
+TPU-shaped design (see kernels/common.py):
+* samples live in the 128-lane axis; every round works on a fixed [BR, 128]
+  tile with +BIG padding and validity masks, so all shapes are uniform;
+* sorted merges are 7-stage bitonic butterflies (rolls + selects) — the new
+  samples are generated in DESCENDING order (descending inverse-CDF u) so
+  [old_asc | pad | new_desc] is already bitonic;
+* prefix sums/products are triangular-ones matmuls on the MXU;
+* inverse-CDF indices come from comparison counting, gathers from one-hot
+  reductions — no dynamic gather/scatter anywhere;
+* the in-kernel MLP keeps points as a 3-D [BR, S, F] activation (Mosaic
+  batched dot), so no lane<->sublane reshapes are needed;
+* the shadow march's cosine term is a single hand-rolled forward-mode
+  tangent through the MLP (softplus' = sigmoid).
+
+Everything here is inference-only (the marches are no-grad in the reference
+too: ``models/neus_hint_model.py:696,379``); callers stop gradients.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nrhints_tpu.fields.sdf import SDFNetConfig
+from nrhints_tpu.kernels.common import INV_SQRT2, materialize_sdf_weights
+
+BIG_Z = 1e9  # padding depth; must exceed any real depth
+N_BUF = 128  # lane width of the z/sdf buffers (64 strat + 64 importance)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel MLP on [BR, S, *] activations
+
+
+def _pe_3d(pts: jnp.ndarray, num_freqs: int) -> jnp.ndarray:
+    """[BR, S, 3] -> [BR, S, 3 + 6*num_freqs], dim-major like nerf_encoding."""
+    parts = []
+    for d in range(3):
+        for f in range(num_freqs):
+            parts.append(pts[..., d : d + 1] * (2.0 ** f))
+    scaled = jnp.concatenate(parts, axis=-1)
+    return jnp.concatenate(
+        [pts, jnp.sin(scaled), jnp.sin(scaled + jnp.pi / 2.0)], axis=-1
+    )
+
+
+def _pe_3d_with_tangent(pts, tans, num_freqs):
+    xp, tp = [], []
+    for d in range(3):
+        for f in range(num_freqs):
+            xp.append(pts[..., d : d + 1] * (2.0 ** f))
+            tp.append(tans[..., d : d + 1] * (2.0 ** f))
+    scaled = jnp.concatenate(xp, axis=-1)
+    tscaled = jnp.concatenate(tp, axis=-1)
+    sin_b = jnp.sin(scaled)
+    cos_b = jnp.sin(scaled + jnp.pi / 2.0)
+    enc = jnp.concatenate([pts, sin_b, cos_b], axis=-1)
+    tenc = jnp.concatenate([tans, tscaled * cos_b, -tscaled * sin_b], axis=-1)
+    return enc, tenc
+
+
+def _dot3(x, w):
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _softplus100(x):
+    return jax.nn.softplus(100.0 * x) * 0.01
+
+
+def _mlp_sdf_3d(pts, weights, cfg: SDFNetConfig):
+    """[BR, S, 3] raw points -> [BR, S] sdf (weights: list of (w [in,out],
+    b [1,out]) pairs then the sdf head)."""
+    xs = pts * cfg.scale
+    enc = _pe_3d(xs, cfg.multi_res)
+    h = enc
+    for i in range(cfg.n_layers):
+        if i in cfg.skip_in:
+            h = jnp.concatenate([h, enc], axis=-1) * INV_SQRT2
+        w, b = weights[2 * i], weights[2 * i + 1]
+        h = _softplus100(_dot3(h, w) + b[None])
+    w, b = weights[-2], weights[-1]
+    return ((_dot3(h, w) + b[None]) / cfg.scale)[..., 0]
+
+
+def _mlp_sdf_dirderiv_3d(pts, dirs, weights, cfg: SDFNetConfig):
+    """-> (sdf [BR, S], dirs . grad sdf [BR, S]) with one tangent stream."""
+    xs = pts * cfg.scale
+    ts = dirs * cfg.scale
+    enc, tenc = _pe_3d_with_tangent(xs, ts, cfg.multi_res)
+    h, th = enc, tenc
+    for i in range(cfg.n_layers):
+        if i in cfg.skip_in:
+            h = jnp.concatenate([h, enc], axis=-1) * INV_SQRT2
+            th = jnp.concatenate([th, tenc], axis=-1) * INV_SQRT2
+        w, b = weights[2 * i], weights[2 * i + 1]
+        z = _dot3(h, w) + b[None]
+        th = _dot3(th, w) * jax.nn.sigmoid(100.0 * z)
+        h = _softplus100(z)
+    w, b = weights[-2], weights[-1]
+    sdf = ((_dot3(h, w) + b[None]) / cfg.scale)[..., 0]
+    dsdf = (_dot3(th, w) / cfg.scale)[..., 0]
+    return sdf, dsdf
+
+
+# ---------------------------------------------------------------------------
+# Lane-axis helpers
+
+
+def _roll(x, shift, axis=1):
+    """pltpu.roll with negative shifts mapped to n - |shift| (out[k] = x[k - shift])."""
+    n = x.shape[axis]
+    return pltpu.roll(x, shift % n, axis=axis)
+
+
+def _tri_matmul_cumsum(x, exclusive=False):
+    n = x.shape[-1]
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    tri = (i < j if exclusive else i <= j).astype(x.dtype)
+    return jnp.dot(x, tri, preferred_element_type=jnp.float32)
+
+
+def _bitonic_merge(z, payload):
+    br, n = z.shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (br, n), 1)
+    for d in (64, 32, 16, 8, 4, 2, 1):
+        hi = (idx & d) != 0
+        p = jnp.where(hi, _roll(z, d, axis=1), _roll(z, -d, axis=1))
+        # select_n on i1 vectors is unsupported in Mosaic; use mask algebra.
+        take = jnp.logical_or(
+            jnp.logical_and(hi, p > z), jnp.logical_and(jnp.logical_not(hi), p < z)
+        )
+        p_pay = jnp.where(
+            hi, _roll(payload, d, axis=1), _roll(payload, -d, axis=1)
+        )
+        payload = jnp.where(take, p_pay, payload)
+        z = jnp.where(take, p, z)
+    return z, payload
+
+
+def _onehot_gather(values, inds):
+    """values [BR, N] at inds [BR, K] -> [BR, K]."""
+    n = values.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (*inds.shape, n), inds.ndim)
+    onehot = (lane == inds[..., None]).astype(values.dtype)
+    return jnp.sum(onehot * values[:, None, :], axis=-1)
+
+
+def _round_new_z(z, sdf, valid_n, inv_s, oo, od, n_new: int):
+    """One up-sample round on padded [BR, 128] buffers -> new_z [BR, n_new]
+    in DESCENDING order.  Mirrors neus_up_sample + det sample_pdf."""
+    br = z.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (br, N_BUF), 1)
+    interval_valid = lane < (valid_n - 1)
+
+    nxt_z = _roll(z, -1, axis=1)
+    nxt_s = _roll(sdf, -1, axis=1)
+    # radius^2 at samples k and k+1 from |o + d z|^2 = oo + 2 od z + z^2
+    r2 = oo + 2.0 * od * z + z * z
+    r2n = oo + 2.0 * od * nxt_z + nxt_z * nxt_z
+    inside = jnp.logical_or(r2 < 1.0, r2n < 1.0).astype(z.dtype)
+
+    mid_sdf = (sdf + nxt_s) * 0.5
+    cos_val = (nxt_s - sdf) / (nxt_z - z + 1e-5)
+    prev_cos = jnp.where(lane == 0, 0.0, _roll(cos_val, 1, axis=1))
+    cos_val = jnp.minimum(prev_cos, cos_val)
+    cos_val = jnp.clip(cos_val, -1e3, 0.0) * inside
+
+    dist = nxt_z - z
+    prev_e = mid_sdf - cos_val * dist * 0.5
+    next_e = mid_sdf + cos_val * dist * 0.5
+    prev_cdf = jax.nn.sigmoid(prev_e * inv_s)
+    next_cdf = jax.nn.sigmoid(next_e * inv_s)
+    alpha = (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5)
+    # Mathematically alpha <= 1, but one f32 ulp of rounding can push it
+    # past 1 when both cdfs saturate — which would turn the log-space
+    # cumprod below into NaN.  Clamp to the mathematical bound.
+    alpha = jnp.minimum(alpha, 1.0)
+    alpha = jnp.where(interval_valid, alpha, 0.0)
+
+    # weights = alpha * exclusive-prod(1 - alpha + 1e-7)
+    trans = jnp.exp(_tri_matmul_cumsum(jnp.log(1.0 - alpha + 1e-7), exclusive=True))
+    w = alpha * trans
+
+    # det inverse-CDF with descending u
+    pdf = jnp.where(interval_valid, w + 1e-5, 0.0)
+    pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
+    cdf = _tri_matmul_cumsum(pdf, exclusive=True)  # [BR,128]; cdf[k]=sum_{j<k}
+    cdf_cnt = jnp.where(lane < valid_n, cdf, 2.0)
+
+    ku = jax.lax.broadcasted_iota(jnp.int32, (1, n_new), 1).astype(jnp.float32)
+    u = 1.0 - ku / (n_new - 1)  # descending [1, n_new]
+    cmp = cdf_cnt[:, None, :] <= u[0][None, :, None]  # [BR, n_new, 128]
+    inds = jnp.sum(cmp.astype(jnp.int32), axis=-1)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, valid_n - 1)
+
+    cdf_b = _onehot_gather(cdf, below)
+    cdf_a = _onehot_gather(cdf, above)
+    z_b = _onehot_gather(z, below)
+    z_a = _onehot_gather(z, above)
+    denom = cdf_a - cdf_b
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_b) / denom
+    return z_b + t * (z_a - z_b)  # [BR, n_new], descending
+
+
+def _refine_rounds(z, sdf, rays_o, rays_d, weights, cfg, rounds, n_new, base_inv_s):
+    """Shared refinement loop: [BR,128] padded buffers -> fully refined z.
+
+    A ``fori_loop`` (not an unrolled python loop): all per-round shapes are
+    the uniform [BR, 128] tile, so only the scalar ``valid_n`` / ``inv_s``
+    vary — keeping one round body in the compiled kernel keeps Mosaic
+    compile time sane.  The last round's new samples get sdf=0 payloads in
+    the unrolled reference too (they are never read)."""
+    br = z.shape[0]
+    oo = jnp.sum(rays_o * rays_o, axis=-1, keepdims=True)  # [BR,1]
+    od = jnp.sum(rays_o * rays_d, axis=-1, keepdims=True)
+    n_start = N_BUF - rounds * n_new  # 64 with defaults
+
+    def body(i, carry):
+        z, sdf = carry
+        valid_n = n_start + i * n_new
+        inv_s = base_inv_s * jnp.exp2(i.astype(jnp.float32))
+        new_z = _round_new_z(z, sdf, valid_n, inv_s, oo, od, n_new)
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z[..., None]
+        new_sdf = _mlp_sdf_3d(pts, weights, cfg)  # [BR, n_new]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (br, N_BUF - n_new), 1)
+        z_cat = jnp.concatenate(
+            [jnp.where(lane < valid_n, z[:, : N_BUF - n_new], BIG_Z), new_z],
+            axis=-1,
+        )
+        sdf_cat = jnp.concatenate([sdf[:, : N_BUF - n_new], new_sdf], axis=-1)
+        return _bitonic_merge(z_cat, sdf_cat)
+
+    return jax.lax.fori_loop(0, rounds, body, (z, sdf))
+
+
+# ---------------------------------------------------------------------------
+# Kernel bodies
+
+
+def _importance_kernel(cfg, rounds, n_new, base_inv_s, n_weights):
+    def kernel(z0_ref, sdf0_ref, o_ref, d_ref, *refs):
+        w_refs, (z_out_ref,) = refs[:n_weights], refs[n_weights:]
+        weights = [r[:] for r in w_refs]
+        br = z0_ref.shape[0]
+        n0 = z0_ref.shape[1]
+        pad = jnp.full((br, N_BUF - n0), BIG_Z, jnp.float32)
+        z = jnp.concatenate([z0_ref[:], pad], axis=-1)
+        sdf = jnp.concatenate([sdf0_ref[:], jnp.zeros_like(pad)], axis=-1)
+        z, _ = _refine_rounds(
+            z, sdf, o_ref[:], d_ref[:], weights, cfg, rounds, n_new, base_inv_s
+        )
+        z_out_ref[:] = z
+
+    return kernel
+
+
+def _shadow_kernel(cfg, rounds, n_new, base_inv_s, n_weights):
+    def kernel(z0_ref, sdf0_ref, o_ref, d_ref, sdist_ref, invs_ref, anneal_ref, *refs):
+        w_refs, (tau_ref,) = refs[:n_weights], refs[n_weights:]
+        weights = [r[:] for r in w_refs]
+        inv_s = invs_ref[0, 0]
+        cos_anneal = anneal_ref[0, 0]
+        o = o_ref[:]
+        d = d_ref[:]
+        br = z0_ref.shape[0]
+        n0 = z0_ref.shape[1]
+        pad = jnp.full((br, N_BUF - n0), BIG_Z, jnp.float32)
+        z = jnp.concatenate([z0_ref[:], pad], axis=-1)
+        sdf = jnp.concatenate([sdf0_ref[:], jnp.zeros_like(pad)], axis=-1)
+        z, _ = _refine_rounds(z, sdf, o, d, weights, cfg, rounds, n_new, base_inv_s)
+
+        # Section mids/lengths; the last interval gets the per-ray
+        # sample_dist (reference get_visibility :416-418).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (br, N_BUF), 1)
+        dists = jnp.where(
+            lane == N_BUF - 1, sdist_ref[:], _roll(z, -1, axis=1) - z
+        )
+        mid = z + dists * 0.5
+
+        # Final sweep: sdf + directional derivative over all 128 samples in
+        # one 3-D activation (block_rays is sized so this fits VMEM).
+        pts = o[:, None, :] + d[:, None, :] * mid[..., None]  # [BR,128,3]
+        # [BR, 1, 3] tangent broadcast implicitly inside the MLP
+        # (explicit broadcast_to of a middle dim crashes Mosaic).
+        dirs = d[:, None, :] + pts * 0.0
+        sdf_f, dcos = _mlp_sdf_dirderiv_3d(pts, dirs, weights, cfg)  # [BR,128]
+        iter_cos = -(
+            jax.nn.relu(-dcos * 0.5 + 0.5) * (1.0 - cos_anneal)
+            + jax.nn.relu(-dcos) * cos_anneal
+        )
+        est_next = sdf_f + iter_cos * dists * 0.5
+        est_prev = sdf_f - iter_cos * dists * 0.5
+        pcdf = jax.nn.sigmoid(est_prev * inv_s)
+        ncdf = jax.nn.sigmoid(est_next * inv_s)
+        alpha = jnp.clip((pcdf - ncdf + 1e-5) / (pcdf + 1e-5), 0.0, 1.0)
+        # tau = prod_{j < N-1} (1 - a_j + 1e-7): exclude the last sample.
+        logs = jnp.where(lane < N_BUF - 1, jnp.log(1.0 - alpha + 1e-7), 0.0)
+        tau_ref[:] = jnp.exp(jnp.sum(logs, axis=-1, keepdims=True))
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers
+
+
+def _pad_rays(arrs, br):
+    b = arrs[0].shape[0]
+    n_blocks = -(-b // br)
+    pad = n_blocks * br - b
+    if pad:
+        arrs = [jnp.concatenate([a, jnp.ones((pad, *a.shape[1:]), a.dtype)], 0) for a in arrs]
+    return arrs, b, n_blocks
+
+
+def _weights_and_specs(params, cfg: SDFNetConfig):
+    flat = materialize_sdf_weights(params, cfg)
+    # Biases as [1, n] rows (Mosaic prefers >=2D operands).
+    weights = []
+    for arr in flat:
+        weights.append(arr[None, :] if arr.ndim == 1 else arr)
+    specs = [
+        pl.BlockSpec(
+            w.shape,
+            (lambda nd: (lambda i: (0,) * nd))(w.ndim),  # bind ndim now
+            memory_space=pltpu.VMEM,
+        )
+        for w in weights
+    ]
+    return weights, specs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "rounds", "n_new", "base_inv_s", "block_rays", "interpret"),
+)
+def fused_importance_z(
+    params: dict,
+    cfg: SDFNetConfig,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    z0: jnp.ndarray,
+    sdf0: jnp.ndarray,
+    *,
+    rounds: int = 4,
+    n_new: int = 16,
+    base_inv_s: float = 64.0,
+    block_rays: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[B, 64] stratified z + sdf -> [B, 128] refined z (sorted)."""
+    (rays_o, rays_d, z0, sdf0), b, n_blocks = _pad_rays(
+        [rays_o, rays_d, z0, sdf0], block_rays
+    )
+    weights, w_specs = _weights_and_specs(params, cfg)
+    n0 = z0.shape[1]
+
+    kernel = _importance_kernel(cfg, rounds, n_new, base_inv_s, len(weights))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block_rays, n0), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rays, n0), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rays, N_BUF), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * block_rays, N_BUF), jnp.float32),
+        interpret=interpret,
+    )(z0, sdf0, rays_o, rays_d, *weights)
+    return out[:b]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "rounds", "n_new", "base_inv_s", "block_rays", "interpret",
+    ),
+)
+def fused_shadow_tau(
+    params: dict,
+    cfg: SDFNetConfig,
+    ray_o: jnp.ndarray,
+    ray_d: jnp.ndarray,
+    z0: jnp.ndarray,
+    sdf0: jnp.ndarray,
+    sample_dist: jnp.ndarray,
+    inv_s: jnp.ndarray,
+    cos_anneal_ratio: jnp.ndarray,
+    *,
+    rounds: int = 4,
+    n_new: int = 16,
+    base_inv_s: float = 64.0,
+    block_rays: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Shadow rays -> final transmittance [B, 1]."""
+    (ray_o, ray_d, z0, sdf0, sample_dist), b, n_blocks = _pad_rays(
+        [ray_o, ray_d, z0, sdf0, sample_dist], block_rays
+    )
+    weights, w_specs = _weights_and_specs(params, cfg)
+    n0 = z0.shape[1]
+    inv_s_arr = jnp.asarray(inv_s, jnp.float32).reshape(1, 1)
+    anneal_arr = jnp.asarray(cos_anneal_ratio, jnp.float32).reshape(1, 1)
+
+    kernel = _shadow_kernel(cfg, rounds, n_new, base_inv_s, len(weights))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block_rays, n0), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rays, n0), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rays, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rays, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * block_rays, 1), jnp.float32),
+        interpret=interpret,
+    )(z0, sdf0, ray_o, ray_d, sample_dist, inv_s_arr, anneal_arr, *weights)
+    return out[:b]

@@ -83,6 +83,10 @@ class RendererConfig:
     n_shadow_samples: int = 64
     n_shadow_importance_samples: int = 64
     override_near_far_to_sphere: bool = True
+    fused_kernels: str = "auto"
+    """Pallas fused-march kernels: "auto" (on TPU backends), "on", "off".
+    The fused path computes identical math with TPU-shaped kernels (bitonic
+    merges, matmul prefix scans); tiny float differences vs the jnp path."""
 
 
 @dataclass(frozen=True)
@@ -178,6 +182,32 @@ def _neus_alpha_from_cos(
 # Hierarchical sampling
 
 
+def _use_fused(rcfg: RendererConfig) -> bool:
+    if rcfg.fused_kernels == "on":
+        return True
+    if rcfg.fused_kernels == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _fused_march_compatible(rcfg: RendererConfig) -> bool:
+    """The fused kernels assume the canonical 64+4x16 buffer geometry."""
+    return (
+        rcfg.n_samples == 64
+        and rcfg.n_importance_samples == 64
+        and rcfg.up_sample_steps == 4
+    )
+
+
+def _fused_shadow_compatible(rcfg: RendererConfig) -> bool:
+    return (
+        rcfg.n_shadow_samples == 64
+        and rcfg.n_shadow_importance_samples == 64
+        and rcfg.up_sample_steps == 4
+        and not rcfg.shadow_hint_gradient
+    )
+
+
 def _importance_sample_z(params, cfg: ModelConfig, rays_o, rays_d, z_vals):
     """4 rounds of up-sampling; returns the merged [B, n+n_imp] z buffer.
 
@@ -191,6 +221,22 @@ def _importance_sample_z(params, cfg: ModelConfig, rays_o, rays_d, z_vals):
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., :, None]
         return sdf_only(params["sdf"], cfg.sdf_network, pts.reshape(-1, 3)).reshape(
             batch, z.shape[-1]
+        )
+
+    if _use_fused(rcfg) and _fused_march_compatible(rcfg):
+        from nrhints_tpu.kernels.march import fused_importance_z
+
+        # The kernel has no AD rules; this whole block is no-grad anyway,
+        # so cut tangents at the inputs (not just the output).
+        sg = jax.lax.stop_gradient
+        sdf_params = sg(params["sdf"])
+        z0 = sg(z_vals)
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z0[..., :, None]
+        sdf0 = sdf_only(sdf_params, cfg.sdf_network, sg(pts).reshape(-1, 3)).reshape(
+            batch, z0.shape[-1]
+        )
+        return fused_importance_z(
+            sdf_params, cfg.sdf_network, sg(rays_o), sg(rays_d), z0, sdf0
         )
 
     sdf = sdf_at(z_vals)
@@ -240,6 +286,31 @@ def _shadow_transmittance(
         z_vals = perturb_z_vals_within_bins(z_vals, key)
 
     batch = z_vals.shape[0]
+
+    if _use_fused(rcfg) and _fused_shadow_compatible(rcfg):
+        from nrhints_tpu.kernels.march import fused_shadow_tau
+
+        # No AD rules in the kernel; the shadow hint is no-grad here
+        # (_fused_shadow_compatible excludes shadow_hint_gradient=True), so
+        # cut tangents at every kernel input.
+        sg = jax.lax.stop_gradient
+        sdf_params = sg(params["sdf"])
+        ray_o_s, ray_d_s, z0_s = sg(ray_o), sg(ray_d), sg(z_vals)
+        pts0 = ray_o_s[:, None, :] + ray_d_s[:, None, :] * z0_s[..., :, None]
+        sdf0 = sdf_only(sdf_params, cfg.sdf_network, pts0.reshape(-1, 3)).reshape(
+            batch, n
+        )
+        return fused_shadow_tau(
+            sdf_params,
+            cfg.sdf_network,
+            ray_o_s,
+            ray_d_s,
+            z0_s,
+            sdf0,
+            sg(sample_dist),
+            sg(inv_s_from_params(params["variance"])),
+            sg(jnp.asarray(cos_anneal_ratio, jnp.float32)),
+        )
 
     def sdf_at(z):
         pts = ray_o[:, None, :] + ray_d[:, None, :] * z[..., :, None]

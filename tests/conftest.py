@@ -14,6 +14,8 @@ import jax  # noqa: E402
 
 # The container's sitecustomize force-registers the remote TPU backend with
 # platform priority "axon,cpu" regardless of JAX_PLATFORMS; tests must run on
-# the local virtual CPU mesh, so override the config after import.
-jax.config.update("jax_platforms", "cpu")
+# the local virtual CPU mesh, so override the config after import.  Setting
+# NRHINTS_TPU_TESTS=1 keeps the real TPU backend (for tests/test_kernels.py).
+if os.environ.get("NRHINTS_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

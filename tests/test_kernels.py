@@ -1,0 +1,127 @@
+"""Fused Pallas kernel tests: each kernel against its jnp twin.
+
+These need real TPU hardware (Mosaic compile); they are skipped on the CPU
+test mesh.  Run them with:
+
+    NRHINTS_TPU_TESTS=1 python -m pytest tests/test_kernels.py -q
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="fused kernels need the TPU backend"
+)
+
+from nrhints_tpu.core.sampling import stratified_z_vals
+from nrhints_tpu.fields.sdf import SDFNetConfig, sdf_init, sdf_only
+from nrhints_tpu.fields.variance import inv_s_from_params, variance_init
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = SDFNetConfig()
+    params = sdf_init(jax.random.PRNGKey(0), cfg)
+    vparams = variance_init()
+    B = 128
+    rng = np.random.default_rng(0)
+    rays_o = jnp.asarray(np.tile([[0, 0, -2.5]], (B, 1)).astype(np.float32))
+    d = rng.normal(0, 0.05, (B, 3))
+    d[:, 2] += 1.0
+    d /= np.linalg.norm(d, -1, keepdims=True)
+    rays_d = jnp.asarray(d.astype(np.float32))
+    return cfg, params, vparams, B, rays_o, rays_d
+
+
+def test_fused_importance_matches_jnp_twin(setup):
+    from nrhints_tpu.kernels.march import fused_importance_z
+    from nrhints_tpu.render.renderer import ModelConfig, _importance_sample_z
+    import dataclasses
+
+    cfg, params, _, B, rays_o, rays_d = setup
+    mid = -jnp.sum(rays_o * rays_d, -1, keepdims=True)
+    z0 = stratified_z_vals(mid - 1.0, mid + 1.0, 64)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z0[..., :, None]
+    sdf0 = sdf_only(params, cfg, pts.reshape(-1, 3)).reshape(B, 64)
+
+    zk = np.asarray(fused_importance_z(params, cfg, rays_o, rays_d, z0, sdf0))
+    mcfg = ModelConfig()
+    mcfg = dataclasses.replace(
+        mcfg, renderer=dataclasses.replace(mcfg.renderer, fused_kernels="off")
+    )
+    zj = np.asarray(_importance_sample_z({"sdf": params}, mcfg, rays_o, rays_d, z0))
+    assert zk.shape == (B, 128)
+    assert (np.diff(zk, axis=-1) >= -1e-5).all(), "fused z must be sorted"
+    np.testing.assert_allclose(zk, zj, atol=2e-2)
+    assert np.abs(zk - zj).mean() < 2e-3
+
+
+def test_fused_shadow_matches_jnp_twin(setup):
+    import dataclasses
+
+    from nrhints_tpu.kernels.march import fused_shadow_tau
+    from nrhints_tpu.render.renderer import ModelConfig, _shadow_transmittance
+
+    cfg, params, vparams, B, _, _ = setup
+    rng = np.random.default_rng(1)
+    pls = jnp.asarray(np.tile([[1.5, 2.0, 2.0]], (B, 1)).astype(np.float32))
+    tp = jnp.asarray(rng.normal(0, 0.3, (B, 3)).astype(np.float32))
+    full = {"sdf": params, "variance": vparams}
+
+    mcfg = ModelConfig()
+    mcfg_off = dataclasses.replace(
+        mcfg, renderer=dataclasses.replace(mcfg.renderer, fused_kernels="off")
+    )
+    tau_ref = np.asarray(_shadow_transmittance(full, mcfg_off, pls, tp, 1.0, None))
+
+    d = tp - pls
+    light_norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ray_d = d / light_norm
+    z0 = jnp.linspace(0.0, 1.0, 64)[None, :] * light_norm * (1.0 - 1e-2)
+    pts = pls[:, None, :] + ray_d[:, None, :] * z0[..., :, None]
+    sdf0 = sdf_only(params, cfg, pts.reshape(-1, 3)).reshape(B, 64)
+    tau_k = np.asarray(
+        fused_shadow_tau(
+            params, cfg, pls, ray_d, z0, sdf0, light_norm / 64,
+            inv_s_from_params(vparams), 1.0,
+        )
+    )
+    assert tau_k.shape == (B, 1)
+    # (1 + 1e-7)^127 slightly exceeds 1 — the reference's cumprod epsilon
+    # does the same (models/neus_hint_model.py:429-430).
+    assert (tau_k >= 0).all() and (tau_k <= 1 + 1e-4).all()
+    np.testing.assert_allclose(tau_k, tau_ref, atol=5e-3)
+
+
+def test_fused_render_matches_jnp_render(setup):
+    """Full render with fused kernels on vs off: rgb should agree closely."""
+    import dataclasses
+
+    from nrhints_tpu.core.structs import RayBundle
+    from nrhints_tpu.render.renderer import ModelConfig, init_model_params, render_rays
+
+    _, _, _, B, rays_o, rays_d = setup
+    mcfg = ModelConfig()
+    params = init_model_params(jax.random.PRNGKey(0), mcfg)
+    mid = -jnp.sum(rays_o * rays_d, -1, keepdims=True)
+    rays = RayBundle(
+        origins=rays_o,
+        directions=rays_d,
+        pl_positions=jnp.tile(jnp.array([[1.5, 2.0, 2.0]]), (B, 1)),
+        nears=mid - 1.0,
+        fars=mid + 1.0,
+    )
+    cfg_on = dataclasses.replace(
+        mcfg, renderer=dataclasses.replace(mcfg.renderer, fused_kernels="on")
+    )
+    cfg_off = dataclasses.replace(
+        mcfg, renderer=dataclasses.replace(mcfg.renderer, fused_kernels="off")
+    )
+    out_on = jax.jit(lambda p, r: render_rays(p, cfg_on, r, background_rgb=jnp.ones((1, 3))))(params, rays)
+    out_off = jax.jit(lambda p, r: render_rays(p, cfg_off, r, background_rgb=jnp.ones((1, 3))))(params, rays)
+    rgb_on, rgb_off = np.asarray(out_on.rgb), np.asarray(out_off.rgb)
+    np.testing.assert_allclose(rgb_on, rgb_off, atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(out_on.visibilities), np.asarray(out_off.visibilities), atol=5e-3
+    )
