@@ -58,6 +58,10 @@ class SystemConfig:
     final_mesh_resolution: int = 1024
     """Marching-cubes grid resolution for the final mesh dump (the reference
     hardcodes 1024 at trainer/trainer.py:266)."""
+    profile_steps: Optional[str] = None
+    """Capture a jax.profiler device trace over a step range, e.g. "100-110";
+    written to <run_dir>/profile for xprof/tensorboard (SURVEY.md §5.1 —
+    the reference has no profiling subsystem)."""
 
 
 def nr_hints() -> SystemConfig:

@@ -22,7 +22,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from nrhints_tpu.core.encodings import nerf_encoding, nerf_encoding_dim
+from nrhints_tpu.core.encodings import (
+    HashEncodingConfig,
+    hash_encoding_apply,
+    hash_encoding_init,
+    nerf_encoding,
+    nerf_encoding_dim,
+)
 from nrhints_tpu.fields.mlp import weight_norm_apply, weight_norm_params
 
 
@@ -39,9 +45,30 @@ class SDFNetConfig:
     geometric_init: bool = True
     weight_norm: bool = True
     inside_outside: bool = False
+    encoding: str = "frequency"
+    """Position encoding: "frequency" (reference default) or "hash"
+    (Instant-NGP multiresolution hash grid — the optional fast path the
+    reference ships unused in fields/encodings.py:237-371)."""
+    hash_levels: int = 16
+    hash_min_res: int = 16
+    hash_max_res: int = 1024
+    hash_log2_size: int = 19
+    hash_features_per_level: int = 2
+
+    @property
+    def hash_config(self) -> HashEncodingConfig:
+        return HashEncodingConfig(
+            num_levels=self.hash_levels,
+            min_res=self.hash_min_res,
+            max_res=self.hash_max_res,
+            log2_hashmap_size=self.hash_log2_size,
+            features_per_level=self.hash_features_per_level,
+        )
 
     @property
     def d_encoded(self) -> int:
+        if self.encoding == "hash":
+            return self.d_in + self.hash_config.out_dim
         return nerf_encoding_dim(self.d_in, self.multi_res, include_input=True)
 
 
@@ -66,8 +93,10 @@ def sdf_init(key: jax.Array, cfg: SDFNetConfig = SDFNetConfig()) -> dict:
     io, dims = _layer_dims(cfg)
     d0 = cfg.d_encoded
     params = {}
-    keys = jax.random.split(key, cfg.n_layers + 2)
+    keys = jax.random.split(key, cfg.n_layers + 3)
     bias = cfg.init_bias * cfg.scale
+    if cfg.encoding == "hash":
+        params["hash"] = hash_encoding_init(keys[-3], cfg.hash_config)
 
     for i, (in_dim, out_dim) in enumerate(io):
         std = math.sqrt(2.0) / math.sqrt(out_dim)
@@ -94,8 +123,15 @@ def sdf_init(key: jax.Array, cfg: SDFNetConfig = SDFNetConfig()) -> dict:
 
 def sdf_forward(params: dict, cfg: SDFNetConfig, x: jnp.ndarray) -> jnp.ndarray:
     """[N, 3] -> [N, 1 + d_out_feat]: column 0 is the SDF, rest the feature."""
-    x = x * cfg.scale
-    inputs = nerf_encoding(x, cfg.multi_res, include_input=True)
+    if cfg.encoding == "hash":
+        # Scene lives in the unit sphere; map to the hash grid's unit cube.
+        x01 = jnp.clip((x + 1.0) * 0.5, 0.0, 1.0)
+        hash_feat = hash_encoding_apply(params["hash"], x01, cfg.hash_config)
+        x = x * cfg.scale
+        inputs = jnp.concatenate([x, hash_feat], axis=-1)
+    else:
+        x = x * cfg.scale
+        inputs = nerf_encoding(x, cfg.multi_res, include_input=True)
     h = inputs
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     for i in range(cfg.n_layers):

@@ -86,35 +86,41 @@ def _softplus100(x):
 
 def _mlp_sdf_3d(pts, weights, cfg: SDFNetConfig):
     """[BR, S, 3] raw points -> [BR, S] sdf (weights: list of (w [in,out],
-    b [1,out]) pairs then the sdf head)."""
+    b [1,out]) pairs then the sdf head).
+
+    Matmuls run in the weights' dtype (bf16 by default — these evals only
+    steer sampling, never carry gradients) with f32 accumulation; all
+    nonlinearities and z math stay f32."""
+    wdt = weights[0].dtype
     xs = pts * cfg.scale
     enc = _pe_3d(xs, cfg.multi_res)
-    h = enc
+    h = enc.astype(wdt)
     for i in range(cfg.n_layers):
         if i in cfg.skip_in:
-            h = jnp.concatenate([h, enc], axis=-1) * INV_SQRT2
+            h = (jnp.concatenate([h.astype(jnp.float32), enc], axis=-1) * INV_SQRT2).astype(wdt)
         w, b = weights[2 * i], weights[2 * i + 1]
-        h = _softplus100(_dot3(h, w) + b[None])
+        h = _softplus100(_dot3(h, w) + b[None]).astype(wdt)
     w, b = weights[-2], weights[-1]
-    return ((_dot3(h, w) + b[None]) / cfg.scale)[..., 0]
+    return ((_dot3(h.astype(wdt), w) + b[None]) / cfg.scale)[..., 0]
 
 
 def _mlp_sdf_dirderiv_3d(pts, dirs, weights, cfg: SDFNetConfig):
     """-> (sdf [BR, S], dirs . grad sdf [BR, S]) with one tangent stream."""
+    wdt = weights[0].dtype
     xs = pts * cfg.scale
     ts = dirs * cfg.scale
     enc, tenc = _pe_3d_with_tangent(xs, ts, cfg.multi_res)
-    h, th = enc, tenc
+    h, th = enc.astype(wdt), tenc.astype(wdt)
     for i in range(cfg.n_layers):
         if i in cfg.skip_in:
-            h = jnp.concatenate([h, enc], axis=-1) * INV_SQRT2
-            th = jnp.concatenate([th, tenc], axis=-1) * INV_SQRT2
+            h = (jnp.concatenate([h.astype(jnp.float32), enc], axis=-1) * INV_SQRT2).astype(wdt)
+            th = (jnp.concatenate([th.astype(jnp.float32), tenc], axis=-1) * INV_SQRT2).astype(wdt)
         w, b = weights[2 * i], weights[2 * i + 1]
         z = _dot3(h, w) + b[None]
-        th = _dot3(th, w) * jax.nn.sigmoid(100.0 * z)
-        h = _softplus100(z)
+        th = (_dot3(th, w) * jax.nn.sigmoid(100.0 * z)).astype(wdt)
+        h = _softplus100(z).astype(wdt)
     w, b = weights[-2], weights[-1]
-    sdf = ((_dot3(h, w) + b[None]) / cfg.scale)[..., 0]
+    sdf = ((_dot3(h.astype(wdt), w) + b[None]) / cfg.scale)[..., 0]
     dsdf = (_dot3(th, w) / cfg.scale)[..., 0]
     return sdf, dsdf
 
@@ -333,12 +339,14 @@ def _pad_rays(arrs, br):
     return arrs, b, n_blocks
 
 
-def _weights_and_specs(params, cfg: SDFNetConfig):
+def _weights_and_specs(params, cfg: SDFNetConfig, mlp_dtype: str = "float32"):
     flat = materialize_sdf_weights(params, cfg)
-    # Biases as [1, n] rows (Mosaic prefers >=2D operands).
+    # Biases as [1, n] f32 rows (Mosaic prefers >=2D operands); 2-D weight
+    # matrices cast to the MLP compute dtype (bf16 -> full-rate MXU).
+    dt = jnp.dtype(mlp_dtype)
     weights = []
     for arr in flat:
-        weights.append(arr[None, :] if arr.ndim == 1 else arr)
+        weights.append(arr[None, :] if arr.ndim == 1 else arr.astype(dt))
     specs = [
         pl.BlockSpec(
             w.shape,
@@ -352,7 +360,7 @@ def _weights_and_specs(params, cfg: SDFNetConfig):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "rounds", "n_new", "base_inv_s", "block_rays", "interpret"),
+    static_argnames=("cfg", "rounds", "n_new", "base_inv_s", "block_rays", "interpret", "mlp_dtype"),
 )
 def fused_importance_z(
     params: dict,
@@ -367,12 +375,13 @@ def fused_importance_z(
     base_inv_s: float = 64.0,
     block_rays: int = 64,
     interpret: bool = False,
+    mlp_dtype: str = "float32",
 ) -> jnp.ndarray:
     """[B, 64] stratified z + sdf -> [B, 128] refined z (sorted)."""
     (rays_o, rays_d, z0, sdf0), b, n_blocks = _pad_rays(
         [rays_o, rays_d, z0, sdf0], block_rays
     )
-    weights, w_specs = _weights_and_specs(params, cfg)
+    weights, w_specs = _weights_and_specs(params, cfg, mlp_dtype)
     n0 = z0.shape[1]
 
     kernel = _importance_kernel(cfg, rounds, n_new, base_inv_s, len(weights))
@@ -399,6 +408,7 @@ def fused_importance_z(
     jax.jit,
     static_argnames=(
         "cfg", "rounds", "n_new", "base_inv_s", "block_rays", "interpret",
+        "mlp_dtype",
     ),
 )
 def fused_shadow_tau(
@@ -417,12 +427,13 @@ def fused_shadow_tau(
     base_inv_s: float = 64.0,
     block_rays: int = 16,
     interpret: bool = False,
+    mlp_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Shadow rays -> final transmittance [B, 1]."""
     (ray_o, ray_d, z0, sdf0, sample_dist), b, n_blocks = _pad_rays(
         [ray_o, ray_d, z0, sdf0, sample_dist], block_rays
     )
-    weights, w_specs = _weights_and_specs(params, cfg)
+    weights, w_specs = _weights_and_specs(params, cfg, mlp_dtype)
     n0 = z0.shape[1]
     inv_s_arr = jnp.asarray(inv_s, jnp.float32).reshape(1, 1)
     anneal_arr = jnp.asarray(cos_anneal_ratio, jnp.float32).reshape(1, 1)

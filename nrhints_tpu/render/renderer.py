@@ -190,21 +190,24 @@ def _use_fused(rcfg: RendererConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _fused_march_compatible(rcfg: RendererConfig) -> bool:
-    """The fused kernels assume the canonical 64+4x16 buffer geometry."""
+def _fused_march_compatible(rcfg: RendererConfig, sdf_cfg=None) -> bool:
+    """The fused kernels assume the canonical 64+4x16 buffer geometry and
+    the frequency-encoded SDF (the hash-encoded field runs the XLA path)."""
     return (
         rcfg.n_samples == 64
         and rcfg.n_importance_samples == 64
         and rcfg.up_sample_steps == 4
+        and (sdf_cfg is None or sdf_cfg.encoding == "frequency")
     )
 
 
-def _fused_shadow_compatible(rcfg: RendererConfig) -> bool:
+def _fused_shadow_compatible(rcfg: RendererConfig, sdf_cfg=None) -> bool:
     return (
         rcfg.n_shadow_samples == 64
         and rcfg.n_shadow_importance_samples == 64
         and rcfg.up_sample_steps == 4
         and not rcfg.shadow_hint_gradient
+        and (sdf_cfg is None or sdf_cfg.encoding == "frequency")
     )
 
 
@@ -223,7 +226,7 @@ def _importance_sample_z(params, cfg: ModelConfig, rays_o, rays_d, z_vals):
             batch, z.shape[-1]
         )
 
-    if _use_fused(rcfg) and _fused_march_compatible(rcfg):
+    if _use_fused(rcfg) and _fused_march_compatible(rcfg, cfg.sdf_network):
         from nrhints_tpu.kernels.march import fused_importance_z
 
         # The kernel has no AD rules; this whole block is no-grad anyway,
@@ -287,7 +290,7 @@ def _shadow_transmittance(
 
     batch = z_vals.shape[0]
 
-    if _use_fused(rcfg) and _fused_shadow_compatible(rcfg):
+    if _use_fused(rcfg) and _fused_shadow_compatible(rcfg, cfg.sdf_network):
         from nrhints_tpu.kernels.march import fused_shadow_tau
 
         # No AD rules in the kernel; the shadow hint is no-grad here

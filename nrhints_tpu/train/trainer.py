@@ -124,6 +124,13 @@ class Trainer:
         self.global_step = 0
         self._load_ckpt()
 
+        # Optional jax.profiler capture window ("A-B" step range).
+        self._profile_range = None
+        if config.profile_steps:
+            a, b = (int(v) for v in config.profile_steps.split("-"))
+            self._profile_range = (a, b)
+        self._profiling = False
+
     # ------------------------------------------------------------------
 
     @property
@@ -159,7 +166,20 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def _maybe_profile(self) -> None:
+        if self._profile_range is None:
+            return
+        a, b = self._profile_range
+        if not self._profiling and self.global_step == a:
+            jax.profiler.start_trace(str(self.log_dir / "profile"))
+            self._profiling = True
+        elif self._profiling and self.global_step >= b:
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
+            self._profiling = False
+
     def train_iter(self) -> dict:
+        self._maybe_profile()
         batch = self.data_manager.next_train_batch()
         batch = mesh_lib.shard_batch(self.mesh, batch)
         key = jax.random.fold_in(self._train_key, self.global_step)

@@ -150,3 +150,28 @@ def test_bg_nerf_shapes():
     )
     assert alpha.shape == (n, 1)
     assert rgb.shape == (n, 3)
+
+
+def test_sdf_hash_encoding_variant():
+    """Hash-encoded SDF: forward, normals, and eikonal double-backward."""
+    cfg = SDFNetConfig(
+        n_layers=2, d_hidden=64, d_out_feat=16, encoding="hash",
+        hash_levels=4, hash_min_res=4, hash_max_res=32, hash_log2_size=10,
+    )
+    params = sdf_init(jax.random.PRNGKey(0), cfg)
+    assert "hash" in params
+    pts = jnp.asarray(
+        np.random.default_rng(0).uniform(-0.8, 0.8, (32, 3)).astype(np.float32)
+    )
+    out = sdf_forward(params, cfg, pts)
+    assert out.shape == (32, 17)
+    sdf, feat, grad = sdf_value_feat_grad(params, cfg, pts)
+    assert np.isfinite(np.asarray(grad)).all()
+
+    def loss(p):
+        _, _, g = sdf_value_feat_grad(p, cfg, pts)
+        return jnp.mean((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert np.isfinite(np.asarray(grads["hash"]["table"])).all()
+    assert np.abs(np.asarray(grads["lin0"]["v"])).max() > 0
