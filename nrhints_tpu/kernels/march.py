@@ -264,35 +264,39 @@ def _refine_rounds(z, sdf, rays_o, rays_d, weights, cfg, rounds, n_new, base_inv
 
 
 def _importance_kernel(cfg, rounds, n_new, base_inv_s, n_weights):
-    def kernel(z0_ref, sdf0_ref, o_ref, d_ref, *refs):
+    def kernel(z0_ref, o_ref, d_ref, *refs):
         w_refs, (z_out_ref,) = refs[:n_weights], refs[n_weights:]
         weights = [r[:] for r in w_refs]
-        br = z0_ref.shape[0]
-        n0 = z0_ref.shape[1]
+        o, d = o_ref[:], d_ref[:]
+        z0 = z0_ref[:]
+        br, n0 = z0.shape
+        # Initial stratified-sample SDF sweep, fused into the kernel.
+        pts0 = o[:, None, :] + d[:, None, :] * z0[..., None]
+        sdf0 = _mlp_sdf_3d(pts0, weights, cfg)
         pad = jnp.full((br, N_BUF - n0), BIG_Z, jnp.float32)
-        z = jnp.concatenate([z0_ref[:], pad], axis=-1)
-        sdf = jnp.concatenate([sdf0_ref[:], jnp.zeros_like(pad)], axis=-1)
-        z, _ = _refine_rounds(
-            z, sdf, o_ref[:], d_ref[:], weights, cfg, rounds, n_new, base_inv_s
-        )
+        z = jnp.concatenate([z0, pad], axis=-1)
+        sdf = jnp.concatenate([sdf0, jnp.zeros_like(pad)], axis=-1)
+        z, _ = _refine_rounds(z, sdf, o, d, weights, cfg, rounds, n_new, base_inv_s)
         z_out_ref[:] = z
 
     return kernel
 
 
 def _shadow_kernel(cfg, rounds, n_new, base_inv_s, n_weights):
-    def kernel(z0_ref, sdf0_ref, o_ref, d_ref, sdist_ref, invs_ref, anneal_ref, *refs):
+    def kernel(z0_ref, o_ref, d_ref, sdist_ref, invs_ref, anneal_ref, *refs):
         w_refs, (tau_ref,) = refs[:n_weights], refs[n_weights:]
         weights = [r[:] for r in w_refs]
         inv_s = invs_ref[0, 0]
         cos_anneal = anneal_ref[0, 0]
         o = o_ref[:]
         d = d_ref[:]
-        br = z0_ref.shape[0]
-        n0 = z0_ref.shape[1]
+        z0 = z0_ref[:]
+        br, n0 = z0.shape
+        pts0 = o[:, None, :] + d[:, None, :] * z0[..., None]
+        sdf0 = _mlp_sdf_3d(pts0, weights, cfg)
         pad = jnp.full((br, N_BUF - n0), BIG_Z, jnp.float32)
-        z = jnp.concatenate([z0_ref[:], pad], axis=-1)
-        sdf = jnp.concatenate([sdf0_ref[:], jnp.zeros_like(pad)], axis=-1)
+        z = jnp.concatenate([z0, pad], axis=-1)
+        sdf = jnp.concatenate([sdf0, jnp.zeros_like(pad)], axis=-1)
         z, _ = _refine_rounds(z, sdf, o, d, weights, cfg, rounds, n_new, base_inv_s)
 
         # Section mids/lengths; the last interval gets the per-ray
@@ -368,19 +372,17 @@ def fused_importance_z(
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,
     z0: jnp.ndarray,
-    sdf0: jnp.ndarray,
     *,
     rounds: int = 4,
     n_new: int = 16,
     base_inv_s: float = 64.0,
-    block_rays: int = 64,
+    block_rays: int = 32,
     interpret: bool = False,
     mlp_dtype: str = "float32",
 ) -> jnp.ndarray:
-    """[B, 64] stratified z + sdf -> [B, 128] refined z (sorted)."""
-    (rays_o, rays_d, z0, sdf0), b, n_blocks = _pad_rays(
-        [rays_o, rays_d, z0, sdf0], block_rays
-    )
+    """[B, 64] stratified z -> [B, 128] refined z (sorted); the initial
+    stratified SDF sweep runs inside the kernel."""
+    (rays_o, rays_d, z0), b, n_blocks = _pad_rays([rays_o, rays_d, z0], block_rays)
     weights, w_specs = _weights_and_specs(params, cfg, mlp_dtype)
     n0 = z0.shape[1]
 
@@ -389,7 +391,6 @@ def fused_importance_z(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block_rays, n0), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rays, n0), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -400,7 +401,7 @@ def fused_importance_z(
         ),
         out_shape=jax.ShapeDtypeStruct((n_blocks * block_rays, N_BUF), jnp.float32),
         interpret=interpret,
-    )(z0, sdf0, rays_o, rays_d, *weights)
+    )(z0, rays_o, rays_d, *weights)
     return out[:b]
 
 
@@ -417,7 +418,6 @@ def fused_shadow_tau(
     ray_o: jnp.ndarray,
     ray_d: jnp.ndarray,
     z0: jnp.ndarray,
-    sdf0: jnp.ndarray,
     sample_dist: jnp.ndarray,
     inv_s: jnp.ndarray,
     cos_anneal_ratio: jnp.ndarray,
@@ -429,9 +429,9 @@ def fused_shadow_tau(
     interpret: bool = False,
     mlp_dtype: str = "float32",
 ) -> jnp.ndarray:
-    """Shadow rays -> final transmittance [B, 1]."""
-    (ray_o, ray_d, z0, sdf0, sample_dist), b, n_blocks = _pad_rays(
-        [ray_o, ray_d, z0, sdf0, sample_dist], block_rays
+    """Shadow rays -> final transmittance [B, 1] (initial sweep in-kernel)."""
+    (ray_o, ray_d, z0, sample_dist), b, n_blocks = _pad_rays(
+        [ray_o, ray_d, z0, sample_dist], block_rays
     )
     weights, w_specs = _weights_and_specs(params, cfg, mlp_dtype)
     n0 = z0.shape[1]
@@ -443,7 +443,6 @@ def fused_shadow_tau(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block_rays, n0), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rays, n0), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -457,5 +456,5 @@ def fused_shadow_tau(
         ),
         out_shape=jax.ShapeDtypeStruct((n_blocks * block_rays, 1), jnp.float32),
         interpret=interpret,
-    )(z0, sdf0, ray_o, ray_d, sample_dist, inv_s_arr, anneal_arr, *weights)
+    )(z0, ray_o, ray_d, sample_dist, inv_s_arr, anneal_arr, *weights)
     return out[:b]

@@ -232,14 +232,8 @@ def _importance_sample_z(params, cfg: ModelConfig, rays_o, rays_d, z_vals):
         # The kernel has no AD rules; this whole block is no-grad anyway,
         # so cut tangents at the inputs (not just the output).
         sg = jax.lax.stop_gradient
-        sdf_params = sg(params["sdf"])
-        z0 = sg(z_vals)
-        pts = rays_o[:, None, :] + rays_d[:, None, :] * z0[..., :, None]
-        sdf0 = sdf_only(sdf_params, cfg.sdf_network, sg(pts).reshape(-1, 3)).reshape(
-            batch, z0.shape[-1]
-        )
         return fused_importance_z(
-            sdf_params, cfg.sdf_network, sg(rays_o), sg(rays_d), z0, sdf0
+            sg(params["sdf"]), cfg.sdf_network, sg(rays_o), sg(rays_d), sg(z_vals)
         )
 
     sdf = sdf_at(z_vals)
@@ -297,19 +291,12 @@ def _shadow_transmittance(
         # (_fused_shadow_compatible excludes shadow_hint_gradient=True), so
         # cut tangents at every kernel input.
         sg = jax.lax.stop_gradient
-        sdf_params = sg(params["sdf"])
-        ray_o_s, ray_d_s, z0_s = sg(ray_o), sg(ray_d), sg(z_vals)
-        pts0 = ray_o_s[:, None, :] + ray_d_s[:, None, :] * z0_s[..., :, None]
-        sdf0 = sdf_only(sdf_params, cfg.sdf_network, pts0.reshape(-1, 3)).reshape(
-            batch, n
-        )
         return fused_shadow_tau(
-            sdf_params,
+            sg(params["sdf"]),
             cfg.sdf_network,
-            ray_o_s,
-            ray_d_s,
-            z0_s,
-            sdf0,
+            sg(ray_o),
+            sg(ray_d),
+            sg(z_vals),
             sg(sample_dist),
             sg(inv_s_from_params(params["variance"])),
             sg(jnp.asarray(cos_anneal_ratio, jnp.float32)),

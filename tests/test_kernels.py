@@ -42,10 +42,8 @@ def test_fused_importance_matches_jnp_twin(setup):
     cfg, params, _, B, rays_o, rays_d = setup
     mid = -jnp.sum(rays_o * rays_d, -1, keepdims=True)
     z0 = stratified_z_vals(mid - 1.0, mid + 1.0, 64)
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * z0[..., :, None]
-    sdf0 = sdf_only(params, cfg, pts.reshape(-1, 3)).reshape(B, 64)
 
-    zk = np.asarray(fused_importance_z(params, cfg, rays_o, rays_d, z0, sdf0))
+    zk = np.asarray(fused_importance_z(params, cfg, rays_o, rays_d, z0))
     mcfg = ModelConfig()
     mcfg = dataclasses.replace(
         mcfg, renderer=dataclasses.replace(mcfg.renderer, fused_kernels="off")
@@ -79,11 +77,9 @@ def test_fused_shadow_matches_jnp_twin(setup):
     light_norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
     ray_d = d / light_norm
     z0 = jnp.linspace(0.0, 1.0, 64)[None, :] * light_norm * (1.0 - 1e-2)
-    pts = pls[:, None, :] + ray_d[:, None, :] * z0[..., :, None]
-    sdf0 = sdf_only(params, cfg, pts.reshape(-1, 3)).reshape(B, 64)
     tau_k = np.asarray(
         fused_shadow_tau(
-            params, cfg, pls, ray_d, z0, sdf0, light_norm / 64,
+            params, cfg, pls, ray_d, z0, light_norm / 64,
             inv_s_from_params(vparams), 1.0,
         )
     )
