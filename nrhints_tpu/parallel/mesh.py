@@ -47,12 +47,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Optional[Mesh], batch):
-    """device_put a host pytree with leading-axis sharding over 'data'
-    (no-op single-device put when mesh is None)."""
+    """Host pytree -> device arrays with leading-axis sharding over 'data'.
+
+    Single-host: a plain (sharded) device_put.  Multi-host: each host holds
+    only its local slice of the global batch (the sampler's rank-seed
+    discipline guarantees disjoint draws), and the global array is assembled
+    with make_array_from_process_local_data — the JAX-native replacement for
+    the reference's per-rank shm reads (SURVEY.md §5.8)."""
     if mesh is None:
         return jax.device_put(batch)
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, x), batch
+    )
 
 
 def replicate(mesh: Optional[Mesh], tree):
