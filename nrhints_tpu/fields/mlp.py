@@ -34,8 +34,28 @@ def linear_params(w: jnp.ndarray, b: jnp.ndarray) -> dict:
     return {"w": w, "b": b}
 
 
-def linear_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    return x @ params["w"] + params["b"]
+def _dot_f32(x: jnp.ndarray, w: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """x @ w with optional reduced-precision operands and f32 accumulation.
+
+    ``compute_dtype="bfloat16"`` casts both operands at the dot (full-rate
+    MXU on TPU) while keeping the accumulator, bias add, and every
+    activation in f32 — standard mixed precision with f32 master weights.
+    Gradients flow through the casts, so backward matmuls get the same
+    treatment from XLA's AD.
+    """
+    if compute_dtype is not None and jnp.dtype(compute_dtype) != x.dtype:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    return jax.lax.dot_general(
+        x,
+        w,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def linear_apply(params: dict, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    return _dot_f32(x, params["w"], compute_dtype) + params["b"]
 
 
 def weight_norm_params(w: jnp.ndarray, b: jnp.ndarray) -> dict:
@@ -46,11 +66,13 @@ def weight_norm_params(w: jnp.ndarray, b: jnp.ndarray) -> dict:
     return {"v": w, "g": g, "b": b}
 
 
-def weight_norm_apply(params: dict, x: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
+def weight_norm_apply(
+    params: dict, x: jnp.ndarray, eps: float = 0.0, compute_dtype=None
+) -> jnp.ndarray:
     v = params["v"]
     norm = jnp.linalg.norm(v, axis=0, keepdims=True)
     w = v * (params["g"][None, :] / (norm + eps))
-    return x @ w + params["b"]
+    return _dot_f32(x, w, compute_dtype) + params["b"]
 
 
 def weight_norm_effective_weight(params: dict) -> tuple[jnp.ndarray, jnp.ndarray]:

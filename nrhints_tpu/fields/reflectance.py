@@ -25,6 +25,9 @@ class ReflectanceNetConfig:
     weight_norm: bool = True
     multi_res: int = 4
     squeeze_out: bool = True
+    compute_dtype: str = "float32"
+    """Matmul operand dtype ("float32" or "bfloat16"); accumulation,
+    activations, and master weights stay f32 (see fields/mlp.py)."""
 
 
 def reflectance_input_dim(
@@ -85,10 +88,17 @@ def reflectance_forward(
     h = jnp.concatenate(parts, axis=-1)
 
     n_lin = cfg.n_layers + 1
+    cdt = None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype)
+    if cdt is not None:
+        # bf16 activations end-to-end (f32 accumulation inside each dot) —
+        # halves the HBM traffic of the saved residuals; see fields/sdf.py.
+        h = h.astype(cdt)
     for i in range(n_lin):
-        h = weight_norm_apply(params[f"lin{i}"], h)
+        h = weight_norm_apply(params[f"lin{i}"], h, compute_dtype=cdt)
         if i < n_lin - 1:
             h = jax.nn.relu(h)
+            if cdt is not None:
+                h = h.astype(cdt)
     if cfg.squeeze_out:
         h = jax.nn.sigmoid(h)
     return h

@@ -49,6 +49,10 @@ class SDFNetConfig:
     """Position encoding: "frequency" (reference default) or "hash"
     (Instant-NGP multiresolution hash grid — the optional fast path the
     reference ships unused in fields/encodings.py:237-371)."""
+    compute_dtype: str = "float32"
+    """Matmul operand dtype for the MLP ("float32" or "bfloat16").  Master
+    weights, accumulation, activations, and the encoding always stay f32;
+    "bfloat16" only casts the dot operands (full-rate MXU)."""
     hash_levels: int = 16
     hash_min_res: int = 16
     hash_max_res: int = 1024
@@ -134,13 +138,24 @@ def sdf_forward(params: dict, cfg: SDFNetConfig, x: jnp.ndarray) -> jnp.ndarray:
         inputs = nerf_encoding(x, cfg.multi_res, include_input=True)
     h = inputs
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    cdt = None if cfg.compute_dtype == "float32" else jnp.dtype(cfg.compute_dtype)
+    if cdt is not None:
+        # Carry activations in the compute dtype end-to-end: the dots take
+        # bf16 operands (full-rate MXU) AND the residuals XLA saves for the
+        # backward pass are half-width — the f32 path is HBM-bound on
+        # exactly those saved activations.  Accumulation stays f32 inside
+        # each dot; the softplus runs in f32 on the accumulated value.
+        h = h.astype(cdt)
+        inputs_c = inputs.astype(cdt)
     for i in range(cfg.n_layers):
         if i in cfg.skip_in:
-            h = jnp.concatenate([h, inputs], axis=-1) * inv_sqrt2
-        h = weight_norm_apply(params[f"lin{i}"], h)
+            h = jnp.concatenate([h, inputs if cdt is None else inputs_c], axis=-1) * inv_sqrt2
+        h = weight_norm_apply(params[f"lin{i}"], h, compute_dtype=cdt)
         h = jax.nn.softplus(100.0 * h) / 100.0
-    sdf = weight_norm_apply(params["out_sdf"], h) / cfg.scale
-    feat = weight_norm_apply(params["out_feat"], h)
+        if cdt is not None:
+            h = h.astype(cdt)
+    sdf = weight_norm_apply(params["out_sdf"], h, compute_dtype=cdt) / cfg.scale
+    feat = weight_norm_apply(params["out_feat"], h, compute_dtype=cdt)
     return jnp.concatenate([sdf, feat], axis=-1)
 
 
