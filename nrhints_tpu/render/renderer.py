@@ -436,7 +436,18 @@ def render_rays(
     dirs_flat = dirs.reshape(-1, 3)
     pls_flat = pls_b.reshape(-1, 3)
 
-    sdf, feat, grads = sdf_value_feat_grad(params["sdf"], cfg.sdf_network, pts_flat)
+    use_fused_core = _use_fused(rcfg) and cfg.sdf_network.encoding == "frequency"
+    if use_fused_core:
+        # Fused Pallas core: value + feature + analytic gradient in VMEM,
+        # with a recompute-in-kernel custom VJP (the XLA path spills every
+        # activation stream to HBM and is bandwidth-bound).
+        from nrhints_tpu.kernels.core_mlp import fused_sdf_value_feat_grad
+
+        sdf, feat, grads = fused_sdf_value_feat_grad(
+            params["sdf"], cfg.sdf_network, pts_flat
+        )
+    else:
+        sdf, feat, grads = sdf_value_feat_grad(params["sdf"], cfg.sdf_network, pts_flat)
     inv_s = inv_s_from_params(params["variance"])
     alpha = _neus_alpha(
         sdf, grads, dirs_flat, dists.reshape(-1), inv_s, cos_anneal_ratio
@@ -534,7 +545,11 @@ def render_rays(
         )
 
     input_normal = analytic_normal if rcfg.normal_type == "analytic" else normalized_normal
-    sampled_color = reflectance_forward(
+    if use_fused_core:
+        from nrhints_tpu.kernels.core_mlp import fused_reflectance_forward as color_fn
+    else:
+        color_fn = reflectance_forward
+    sampled_color = color_fn(
         params["color"],
         cfg.reflectance_network,
         pts_flat,

@@ -1,6 +1,7 @@
-"""Quality check for bf16 field matmuls: train the FULL flagship model
-(8x256 SDF, 64+64 samples, both hints) on a synthetic sphere scene for a few
-thousand steps in f32 and bf16 and compare final eval PSNR.
+"""Quality check for the fused bf16 core kernels: train the FULL flagship
+model (8x256 SDF, 64+64 samples, both hints) on a synthetic sphere scene for
+a few thousand steps with the production default (fused Pallas core, bf16
+dot operands) vs the XLA path, and compare final eval PSNR.
 
 Usage: python scripts/quality_bf16.py [steps] [out_dir]
 """
@@ -31,10 +32,10 @@ def main():
     scene = parse_load_nr_data(scene_dir)
 
     results = {}
-    for dt in ("float32", "bfloat16"):
+    for mode in ("fused", "xla"):
         cfg = SystemConfig(
             base_dir=str(out / "runs"),
-            exp_name=f"q_{dt}",
+            exp_name=f"q_{mode}",
             scene_name="sphere",
             intervals=IntervalsConfig(
                 log_metrics=200,
@@ -52,9 +53,8 @@ def main():
                 end_iter=steps,
                 warm_up_end=min(500, steps // 4),
                 anneal_end=steps,
-                sdf_network=dataclasses.replace(m.sdf_network, compute_dtype=dt),
-                reflectance_network=dataclasses.replace(
-                    m.reflectance_network, compute_dtype=dt
+                renderer=dataclasses.replace(
+                    m.renderer, fused_kernels="auto" if mode == "fused" else "off"
                 ),
             ),
         )
@@ -66,12 +66,12 @@ def main():
         ]
         val = [l for l in lines if "val/psnr" in l]
         tr = [l for l in lines if "loss" in l]
-        results[dt] = {
+        results[mode] = {
             "final_val_psnr": val[-1]["val/psnr"] if val else None,
             "final_train_loss": tr[-1]["loss"] if tr else None,
             "rays_per_sec": tr[-1].get("rays_per_sec") if tr else None,
         }
-        print(dt, results[dt], flush=True)
+        print(mode, results[mode], flush=True)
 
     print(json.dumps(results))
 

@@ -121,3 +121,75 @@ def test_fused_render_matches_jnp_render(setup):
     np.testing.assert_allclose(
         np.asarray(out_on.visibilities), np.asarray(out_off.visibilities), atol=5e-3
     )
+
+
+def test_fused_sdf_core_matches_xla(setup):
+    """Fused with-grad SDF core (kernels/core_mlp.py) vs the XLA path on the
+    full-size field.  f32 dots: tight; bf16 dots (the TPU default, matching
+    XLA DEFAULT matmul precision): loose."""
+    from nrhints_tpu.fields.sdf import sdf_value_feat_grad
+    from nrhints_tpu.kernels.core_mlp import fused_sdf_value_feat_grad
+
+    cfg, params, _, B, rays_o, rays_d = setup
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1000, 3)).astype(np.float32)) * 0.4
+
+    # True-f32 XLA reference: on TPU, XLA's DEFAULT precision rounds f32
+    # dot operands to bf16, so pin HIGHEST for the exact comparison.
+    with jax.default_matmul_precision("highest"):
+        s0, f0, g0 = jax.jit(lambda: sdf_value_feat_grad(params, cfg, x))()
+    s1, f1, g1 = jax.jit(
+        lambda: fused_sdf_value_feat_grad(params, cfg, x, compute_dtype="float32")
+    )()
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=2e-3)
+
+    s2, f2, g2 = jax.jit(lambda: fused_sdf_value_feat_grad(params, cfg, x))()
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s2), atol=2e-2)
+    # normals: compare directions (the eikonal keeps |g| ~ 1)
+    cos = np.sum(np.asarray(g0) * np.asarray(g2), -1) / (
+        np.linalg.norm(np.asarray(g0), axis=-1) * np.linalg.norm(np.asarray(g2), axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.99
+
+
+def test_fused_core_train_grads_match_xla(setup):
+    """d(loss)/d(params) through the full fused render core vs the XLA path
+    (both at their TPU-default matmul precision)."""
+    import dataclasses
+
+    from nrhints_tpu.core.structs import RayBundle
+    from nrhints_tpu.render.renderer import ModelConfig, init_model_params, render_rays
+
+    _, _, _, B, rays_o, rays_d = setup
+    mcfg = ModelConfig()
+    params = init_model_params(jax.random.PRNGKey(0), mcfg)
+    mid = -jnp.sum(rays_o * rays_d, -1, keepdims=True)
+    rays = RayBundle(
+        origins=rays_o,
+        directions=rays_d,
+        pl_positions=jnp.tile(jnp.array([[1.5, 2.0, 2.0]]), (B, 1)),
+        nears=mid - 1.0,
+        fars=mid + 1.0,
+    )
+
+    def loss_with(cfg):
+        def fn(p):
+            out = render_rays(p, cfg, rays, background_rgb=jnp.ones((1, 3)))
+            eik = jnp.mean((jnp.linalg.norm(out.analytic_normals, axis=-1) - 1.0) ** 2)
+            return jnp.mean(out.rgb) + 0.1 * eik
+
+        return fn
+
+    cfg_on = dataclasses.replace(
+        mcfg, renderer=dataclasses.replace(mcfg.renderer, fused_kernels="on")
+    )
+    cfg_off = dataclasses.replace(
+        mcfg, renderer=dataclasses.replace(mcfg.renderer, fused_kernels="off")
+    )
+    g_on = jax.jit(jax.grad(loss_with(cfg_on)))(params)
+    g_off = jax.jit(jax.grad(loss_with(cfg_off)))(params)
+    for l0, l1 in zip(jax.tree_util.tree_leaves(g_off), jax.tree_util.tree_leaves(g_on)):
+        a, b = np.asarray(l0), np.asarray(l1)
+        scale = max(np.abs(a).max(), 1e-3)
+        assert np.abs(a - b).max() / scale < 0.08, (np.abs(a - b).max(), scale)
