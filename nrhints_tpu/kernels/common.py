@@ -64,6 +64,25 @@ def _softplus100(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softplus(100.0 * x) * 0.01
 
 
+def softplus100_gate(z: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(softplus(100 z) * 0.01, sigmoid(100 z)) from ONE exponential.
+
+    The fused kernels are VPU-transcendental-bound, not MXU-bound: each MLP
+    layer needs both the activation and its gate (softplus' = sigmoid), and
+    evaluating them independently costs two exps.  Here ``e = exp(-|t|)``
+    feeds both — softplus via the logaddexp form (the same stable
+    formulation ``jax.nn.softplus`` uses) and sigmoid as ``1/(1+e)`` /
+    ``e/(1+e)`` by sign.  Under ``jax.vjp`` the derivative of ``e`` is the
+    rational ``-sign(t)*e``, so the backward kernel pays no additional
+    transcendentals for the activation chain either."""
+    t = 100.0 * z
+    e = jnp.exp(-jnp.abs(t))
+    inv = 1.0 / (1.0 + e)
+    gate = jnp.where(t >= 0.0, inv, e * inv)
+    sp = (jnp.maximum(t, 0.0) + jnp.log1p(e)) * 0.01
+    return sp, gate
+
+
 def sdf_mlp(x: jnp.ndarray, weights: Sequence[jnp.ndarray], cfg: SDFNetConfig) -> jnp.ndarray:
     """[M, 3] raw points -> [M] sdf, using materialized weights."""
     xs = x * cfg.scale
@@ -100,8 +119,8 @@ def sdf_mlp_with_dirderiv(
         w, b = weights[2 * i], weights[2 * i + 1]
         z = jnp.dot(h, w, preferred_element_type=jnp.float32) + b[None, :]
         tz = jnp.dot(th, w, preferred_element_type=jnp.float32)
-        h = _softplus100(z)
-        th = tz * jax.nn.sigmoid(100.0 * z)
+        h, gate = softplus100_gate(z)
+        th = tz * gate
     w, b = weights[-2], weights[-1]
     sdf = (jnp.dot(h, w, preferred_element_type=jnp.float32) + b[None, :]) / cfg.scale
     dsdf = jnp.dot(th, w, preferred_element_type=jnp.float32) / cfg.scale

@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nrhints_tpu.fields.mlp import weight_norm_effective_weight
 from nrhints_tpu.fields.sdf import SDFNetConfig, _layer_dims
-from nrhints_tpu.kernels.common import INV_SQRT2
+from nrhints_tpu.kernels.common import INV_SQRT2, softplus100_gate
 
 _BIG_NEG = -1e9
 
@@ -108,8 +108,8 @@ def sdf_core_ref(
         if i in cfg.skip_in:
             h = jnp.concatenate([h, enc], axis=-1) * INV_SQRT2
         z = _dot(h, weights[2 * i], cdt) + weights[2 * i + 1]
-        gates.append(jax.nn.sigmoid(100.0 * z))
-        h = jax.nn.softplus(100.0 * z) * 0.01
+        h, gate = softplus100_gate(z)
+        gates.append(gate)
 
     w_sdf, b_sdf = weights[2 * L], weights[2 * L + 1]
     w_feat, b_feat = weights[2 * L + 2], weights[2 * L + 3]

@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nrhints_tpu.fields.sdf import SDFNetConfig
-from nrhints_tpu.kernels.common import INV_SQRT2, materialize_sdf_weights
+from nrhints_tpu.kernels.common import INV_SQRT2, materialize_sdf_weights, softplus100_gate
 
 BIG_Z = 1e9  # padding depth; must exceed any real depth
 N_BUF = 128  # lane width of the z/sdf buffers (64 strat + 64 importance)
@@ -117,8 +117,9 @@ def _mlp_sdf_dirderiv_3d(pts, dirs, weights, cfg: SDFNetConfig):
             th = (jnp.concatenate([th.astype(jnp.float32), tenc], axis=-1) * INV_SQRT2).astype(wdt)
         w, b = weights[2 * i], weights[2 * i + 1]
         z = _dot3(h, w) + b[None]
-        th = (_dot3(th, w) * jax.nn.sigmoid(100.0 * z)).astype(wdt)
-        h = _softplus100(z).astype(wdt)
+        sp, gate = softplus100_gate(z)
+        th = (_dot3(th, w) * gate).astype(wdt)
+        h = sp.astype(wdt)
     w, b = weights[-2], weights[-1]
     sdf = ((_dot3(h.astype(wdt), w) + b[None]) / cfg.scale)[..., 0]
     dsdf = (_dot3(th, w) / cfg.scale)[..., 0]
