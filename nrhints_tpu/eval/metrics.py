@@ -40,8 +40,12 @@ def _ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, data_range: float) -> jnp.nd
 
     def filt(x):
         x = jnp.moveaxis(x, -1, 0)[None]  # [1,C,H,W]
+        # HIGHEST precision: TPU default rounds conv operands to bf16, and
+        # the variance terms below are differences of nearly equal numbers —
+        # bf16 noise there can push SSIM visibly above 1 on flat regions.
         y = jax.lax.conv_general_dilated(
-            x, kernel, (1, 1), "VALID", feature_group_count=c
+            x, kernel, (1, 1), "VALID", feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return y[0]
 

@@ -90,39 +90,57 @@ def _mlp_sdf_3d(pts, weights, cfg: SDFNetConfig):
 
     Matmuls run in the weights' dtype (bf16 by default — these evals only
     steer sampling, never carry gradients) with f32 accumulation; all
-    nonlinearities and z math stay f32."""
+    nonlinearities and z math stay f32.
+
+    The hidden layers run on a FLATTENED [BR*S, F] activation: a batched
+    3-D dot lowers to BR separate [S, K]x[K, N] matmuls, and with the
+    refinement rounds' S=16 that is 16/128 MXU row utilization.  Collapsing
+    the two leading dims keeps the minor (lane) axis intact — a legal,
+    layout-preserving Mosaic reshape when S is a multiple of the sublane
+    tile — and turns each layer into one full-row [BR*S, K]x[K, N] matmul.
+    Only the tiny sdf head stays 3-D so the result lands as [BR, S] lanes."""
     wdt = weights[0].dtype
+    br, s = pts.shape[0], pts.shape[1]
     xs = pts * cfg.scale
-    enc = _pe_3d(xs, cfg.multi_res)
+    enc = _pe_3d(xs, cfg.multi_res).reshape(br * s, -1)
     h = enc.astype(wdt)
     for i in range(cfg.n_layers):
         if i in cfg.skip_in:
             h = (jnp.concatenate([h.astype(jnp.float32), enc], axis=-1) * INV_SQRT2).astype(wdt)
         w, b = weights[2 * i], weights[2 * i + 1]
-        h = _softplus100(_dot3(h, w) + b[None]).astype(wdt)
+        h = _softplus100(_dot3(h, w) + b).astype(wdt)
     w, b = weights[-2], weights[-1]
-    return ((_dot3(h.astype(wdt), w) + b[None]) / cfg.scale)[..., 0]
+    h3 = h.reshape(br, s, h.shape[-1])
+    return ((_dot3(h3, w) + b[None]) / cfg.scale)[..., 0]
 
 
 def _mlp_sdf_dirderiv_3d(pts, dirs, weights, cfg: SDFNetConfig):
-    """-> (sdf [BR, S], dirs . grad sdf [BR, S]) with one tangent stream."""
+    """-> (sdf [BR, S], dirs . grad sdf [BR, S]) with one tangent stream.
+
+    Hidden layers run flattened to [BR*S, F] for full MXU rows (see
+    ``_mlp_sdf_3d``); both heads stay 3-D so results land as [BR, S]."""
     wdt = weights[0].dtype
+    br, s = pts.shape[0], pts.shape[1]
     xs = pts * cfg.scale
     ts = dirs * cfg.scale
     enc, tenc = _pe_3d_with_tangent(xs, ts, cfg.multi_res)
+    enc = enc.reshape(br * s, -1)
+    tenc = tenc.reshape(br * s, -1)
     h, th = enc.astype(wdt), tenc.astype(wdt)
     for i in range(cfg.n_layers):
         if i in cfg.skip_in:
             h = (jnp.concatenate([h.astype(jnp.float32), enc], axis=-1) * INV_SQRT2).astype(wdt)
             th = (jnp.concatenate([th.astype(jnp.float32), tenc], axis=-1) * INV_SQRT2).astype(wdt)
         w, b = weights[2 * i], weights[2 * i + 1]
-        z = _dot3(h, w) + b[None]
+        z = _dot3(h, w) + b
         sp, gate = softplus100_gate(z)
         th = (_dot3(th, w) * gate).astype(wdt)
         h = sp.astype(wdt)
     w, b = weights[-2], weights[-1]
-    sdf = ((_dot3(h.astype(wdt), w) + b[None]) / cfg.scale)[..., 0]
-    dsdf = (_dot3(th, w) / cfg.scale)[..., 0]
+    h3 = h.astype(wdt).reshape(br, s, h.shape[-1])
+    th3 = th.reshape(br, s, th.shape[-1])
+    sdf = ((_dot3(h3, w) + b[None]) / cfg.scale)[..., 0]
+    dsdf = (_dot3(th3, w) / cfg.scale)[..., 0]
     return sdf, dsdf
 
 
