@@ -83,8 +83,10 @@ class Evaluator:
         return res
 
     def _render_image_impl(self, params, pixels_flat: PixelBundle):
-        chunk = self.cfg.model.inference_chunk_size
         n = pixels_flat.h_indices.shape[0]
+        # Clamp to the image size: one dispatch when the image is smaller
+        # than the chunk (and no dead padding rays on tiny test images).
+        chunk = min(self.cfg.model.inference_chunk_size, n)
         n_chunks = -(-n // chunk)
         pad = n_chunks * chunk - n
 

@@ -111,6 +111,11 @@ class ModelConfig:
     shadow_mini_chunk_size: int = 2048
     training_chunk_size: int = 512
     inference_chunk_size: int = 512
+    """Rays per eval dispatch — a pure batching knob (no numeric effect;
+    the evaluator clamps it to the image size).  Measured on TPU v5e:
+    whole-image render throughput is flat from 512 to 8192 (the in-graph
+    ``lax.map`` has no per-chunk dispatch cost), so the reference's 512
+    (``pipelines/base_pipeline.py:110-120``) stays the default."""
 
     @property
     def has_shadow_hint(self) -> bool:
