@@ -40,7 +40,7 @@ class Evaluator:
         self.camera = camera
         self.buffers = buffers
         self._render_image_jit = jax.jit(self._render_image_impl)
-        self._register_step_jit = None  # built lazily
+        self._register_jit = None  # built lazily
 
     # ------------------------------------------------------------------
     # Whole-image rendering
@@ -157,51 +157,66 @@ class Evaluator:
     def register_view(self, params, pixels: PixelBundle, steps: int = 500):
         """500 Adam steps on the ray-generator params only (reference
         register_view, base_pipeline.py:71-91).  Returns updated params;
-        the renderer params are byte-identical (frozen via stop_gradient
-        by exclusion — only raygen leaves are optimized)."""
+        the renderer params are byte-identical (only raygen leaves are
+        optimized).
+
+        Runs as ONE device dispatch: the inner Adam loop is a ``lax.scan``
+        over per-step pixel draws — the reference's 500-iteration python
+        loop would cost 500 host round-trips per evaluated view."""
         if not params["raygen"]:
             return params
         cfg = self.cfg
         tx = optax.adam(cfg.ray_generator.opt_lr)
 
-        if self._register_step_jit is None:
+        if self._register_jit is None:
 
-            def one_step(raygen_params, opt_state, renderer_params, image_bundle, key):
+            def sample_and_loss(rp, renderer_params, image_bundle, sub):
                 H, W = image_bundle.h_indices.shape[:2]
-                kh, kw = jax.random.split(key)
+                kh, kw = jax.random.split(sub)
                 bs = cfg.model.batch_size
                 h_idx = jax.random.randint(kh, (bs,), 0, H)
                 w_idx = jax.random.randint(kw, (bs,), 0, W)
                 batch = jax.tree_util.tree_map(
-                    lambda x: None if x is None else x[h_idx, w_idx], image_bundle
+                    lambda x: x[h_idx, w_idx], image_bundle
                 )
+                out = forward_pipeline(
+                    {"renderer": renderer_params, "raygen": rp},
+                    self.buffers,
+                    cfg,
+                    self.camera,
+                    batch,
+                    None,
+                    is_training=False,
+                    geometry_warmup=False,
+                    cos_anneal_ratio=1.0,
+                )
+                return jnp.sum(jnp.abs(out.rgb - batch.rgb_gt)) / (bs + 1e-5)
 
-                def loss_fn(rp):
-                    out = forward_pipeline(
-                        {"renderer": renderer_params, "raygen": rp},
-                        self.buffers,
-                        cfg,
-                        self.camera,
-                        batch,
-                        None,
-                        is_training=False,
-                        geometry_warmup=False,
-                        cos_anneal_ratio=1.0,
+            def run(raygen, renderer_params, image_bundle, key, n_steps):
+                opt_state = tx.init(raygen)
+
+                def body(carry, _):
+                    raygen, opt_state, key = carry
+                    key, sub = jax.random.split(key)
+                    loss, grads = jax.value_and_grad(sample_and_loss)(
+                        raygen, renderer_params, image_bundle, sub
                     )
-                    return jnp.sum(jnp.abs(out.rgb - batch.rgb_gt)) / (bs + 1e-5)
+                    updates, opt_state = tx.update(grads, opt_state, raygen)
+                    raygen = optax.apply_updates(raygen, updates)
+                    return (raygen, opt_state, key), loss
 
-                loss, grads = jax.value_and_grad(loss_fn)(raygen_params)
-                updates, opt_state = tx.update(grads, opt_state, raygen_params)
-                return optax.apply_updates(raygen_params, updates), opt_state, loss
+                (raygen, _, _), losses = jax.lax.scan(
+                    body, (raygen, opt_state, key), None, length=n_steps
+                )
+                return raygen, losses
 
-            self._register_step_jit = jax.jit(one_step)
+            self._register_jit = jax.jit(run, static_argnames="n_steps")
 
-        raygen = params["raygen"]
-        opt_state = tx.init(raygen)
-        key = jax.random.PRNGKey(0)
-        for i in range(steps):
-            key, sub = jax.random.split(key)
-            raygen, opt_state, _ = self._register_step_jit(
-                raygen, opt_state, params["renderer"], pixels, sub
-            )
+        raygen, _losses = self._register_jit(
+            params["raygen"],
+            params["renderer"],
+            jax.device_put(pixels),
+            jax.random.PRNGKey(0),
+            steps,
+        )
         return {"renderer": params["renderer"], "raygen": raygen}

@@ -37,16 +37,17 @@ def make_mesh(data_axis_size: int = -1, devices=None) -> Mesh:
     return Mesh(np.asarray(devices[:data_axis_size]), ("data",))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Rays sharded along the leading batch axis."""
-    return NamedSharding(mesh, P("data"))
+def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
+    """Rays sharded along the batch axis (leading by default; axis 1 for
+    stacked multi-step batches [n_steps, rays, ...])."""
+    return NamedSharding(mesh, P(*([None] * batch_axis), "data"))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Optional[Mesh], batch):
+def shard_batch(mesh: Optional[Mesh], batch, batch_axis: int = 0):
     """Host pytree -> device arrays with leading-axis sharding over 'data'.
 
     Single-host: a plain (sharded) device_put.  Multi-host: each host holds
@@ -56,7 +57,7 @@ def shard_batch(mesh: Optional[Mesh], batch):
     the reference's per-rank shm reads (SURVEY.md §5.8)."""
     if mesh is None:
         return jax.device_put(batch)
-    sh = batch_sharding(mesh)
+    sh = batch_sharding(mesh, batch_axis)
     if jax.process_count() == 1:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
     return jax.tree_util.tree_map(

@@ -169,6 +169,72 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_train_step_scan(
+    cfg: SystemConfig,
+    camera: CameraModel,
+    buffers: dict,
+    optimizer: optax.GradientTransformation,
+    *,
+    n_steps: int,
+    geometry_warmup: bool = False,
+    donate: bool = True,
+):
+    """``n_steps`` train steps in ONE dispatch via ``lax.scan``.
+
+    Takes a stacked batch pytree with a leading [n_steps] axis and returns
+    the state after all steps plus the LAST step's metrics (the trainer only
+    reads metrics at the logging interval, so per-step metrics would be
+    wasted transfer).  The per-step RNG key is folded from the carried
+    ``state.step`` inside the scan, so a run chunked as K-step dispatches
+    draws the same keys as the single-step loop.
+
+    Amortizes per-dispatch host/runtime overhead — a visible fraction of the
+    ~17 ms flagship step when dispatching over the axon tunnel.
+    """
+    mcfg: ModelConfig = cfg.model
+    anneal_end = mcfg.anneal_end
+
+    def one_step(state: TrainState, batch_and_key):
+        batch, key = batch_and_key
+        cos_anneal_ratio = (
+            jnp.minimum(1.0, state.step.astype(jnp.float32) / anneal_end)
+            if anneal_end > 0
+            else jnp.asarray(1.0)
+        )
+
+        def loss_fn(params):
+            out = forward_pipeline(
+                params,
+                buffers,
+                cfg,
+                camera,
+                batch,
+                key,
+                is_training=True,
+                geometry_warmup=geometry_warmup,
+                cos_anneal_ratio=cos_anneal_ratio,
+            )
+            return compute_loss_dict(out, batch.rgb_gt, mcfg.igr_weight)
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state),
+            metrics,
+        )
+
+    def scan_fn(state: TrainState, batches: PixelBundle, key: jax.Array):
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            state.step + jnp.arange(n_steps)
+        )
+        final_state, metrics_seq = jax.lax.scan(one_step, state, (batches, keys))
+        last_metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics_seq)
+        return final_state, last_metrics
+
+    return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
+
+
 def init_train_state(params: dict, optimizer: optax.GradientTransformation) -> TrainState:
     return TrainState(
         step=jnp.asarray(0, jnp.int32),

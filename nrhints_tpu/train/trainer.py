@@ -36,6 +36,7 @@ from nrhints_tpu.train.step import (
     init_train_state,
     make_optimizer,
     make_train_step,
+    make_train_step_scan,
 )
 
 
@@ -118,6 +119,8 @@ class Trainer:
             if config.model.geometry_warmup_end > 0
             else None
         )
+        # Scanned K-step-per-dispatch variants, built lazily on first use.
+        self._scan_steps: dict[bool, object] = {}
 
         self.evaluator = Evaluator(config, self.camera, self.buffers)
         self.ckpt_io = CheckpointIO(self.log_dir)
@@ -170,7 +173,7 @@ class Trainer:
         if self._profile_range is None:
             return
         a, b = self._profile_range
-        if not self._profiling and self.global_step == a:
+        if not self._profiling and a <= self.global_step < b:
             jax.profiler.start_trace(str(self.log_dir / "profile"))
             self._profiling = True
         elif self._profiling and self.global_step >= b:
@@ -178,19 +181,62 @@ class Trainer:
             jax.profiler.stop_trace()
             self._profiling = False
 
-    def train_iter(self) -> dict:
-        self._maybe_profile()
-        batch = self.data_manager.next_train_batch()
-        batch = mesh_lib.shard_batch(self.mesh, batch)
-        key = jax.random.fold_in(self._train_key, self.global_step)
-        step_fn = (
-            self._step_warmup
-            if self._step_warmup is not None
+    def _in_warmup(self) -> bool:
+        return (
+            self._step_warmup is not None
             and self.global_step < self.config.model.geometry_warmup_end
-            else self._step_normal
         )
-        self.state, metrics = step_fn(self.state, batch, key)
+
+    def _next_chunk_size(self) -> int:
+        """Steps for the next dispatch: the configured steps_per_dispatch,
+        unless the chunk would cross the geometry-warmup boundary or
+        end_iter — partial chunks run as single steps so only the one
+        scanned program ever compiles."""
+        k = self.config.parallel.steps_per_dispatch
+        if k <= 1:
+            return 1
+        gs = self.global_step
+        limit = self.config.model.end_iter - gs
+        wend = self.config.model.geometry_warmup_end
+        if self._step_warmup is not None and gs < wend:
+            limit = min(limit, wend - gs)
+        return k if k <= limit else 1
+
+    def train_iter(self, n_steps: int = 1) -> dict:
+        self._maybe_profile()
+        key = self._train_key
+        warmup = self._in_warmup()
+        if n_steps == 1:
+            batch = self.data_manager.next_train_batch()
+            batch = mesh_lib.shard_batch(self.mesh, batch)
+            step_fn = self._step_warmup if warmup else self._step_normal
+            self.state, metrics = step_fn(
+                self.state, batch, jax.random.fold_in(key, self.global_step)
+            )
+            return metrics
+        # K steps in one dispatch: stacked batches [K, rays, ...] sharded on
+        # the ray axis; the scan folds per-step keys from the carried step
+        # counter, so the draws match the single-step loop exactly.
+        scan_fn = self._scan_steps.get(warmup)
+        if scan_fn is None:
+            scan_fn = make_train_step_scan(
+                self.config,
+                self.camera,
+                self.buffers,
+                self.optimizer,
+                n_steps=n_steps,
+                geometry_warmup=warmup,
+            )
+            self._scan_steps[warmup] = scan_fn
+        batches = [self.data_manager.next_train_batch() for _ in range(n_steps)]
+        stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+        stacked = mesh_lib.shard_batch(self.mesh, stacked, batch_axis=1)
+        self.state, metrics = scan_fn(self.state, stacked, key)
         return metrics
+
+    @staticmethod
+    def _crossed(prev: int, cur: int, interval: int) -> bool:
+        return (cur // interval) > (prev // interval)
 
     def run(self) -> None:
         cfg = self.config
@@ -200,10 +246,12 @@ class Trainer:
             last_log_step = self.global_step
             metrics = {}
             while self.global_step < cfg.model.end_iter:
-                metrics = self.train_iter()
-                self.global_step += 1
+                n_steps = self._next_chunk_size()
+                metrics = self.train_iter(n_steps)
+                prev = self.global_step
+                self.global_step += n_steps
                 gs = self.global_step
-                if gs % intervals.log_metrics == 0:
+                if self._crossed(prev, gs, intervals.log_metrics):
                     m = {k: float(v) for k, v in metrics.items()}
                     now = time.time()
                     steps = gs - last_log_step
@@ -213,13 +261,13 @@ class Trainer:
                     last_log_t, last_log_step = now, gs
                     if self.is_main_process:
                         self.logger.log(m, gs)
-                if gs % intervals.save_ckpt == 0:
+                if self._crossed(prev, gs, intervals.save_ckpt):
                     self._save_ckpt()
-                if gs % intervals.render_test_views == 0:
+                if self._crossed(prev, gs, intervals.render_test_views):
                     self.render_test_views()
-                if gs % intervals.dump_mesh == 0:
+                if self._crossed(prev, gs, intervals.dump_mesh):
                     self.dump_mesh()
-                if gs % intervals.render_video == 0:
+                if self._crossed(prev, gs, intervals.render_video):
                     self.render_video()
 
         self.dump_mesh(resolution=cfg.final_mesh_resolution)
@@ -404,6 +452,9 @@ def launch(config: SystemConfig) -> Trainer:
     """Build a trainer and run it (the reference launch() without the
     subprocess fan-out — multi-chip is the mesh's job, multi-host is one
     process per host started by the cluster runtime)."""
+    from nrhints_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     trainer = Trainer(config)
     trainer.run()
     return trainer

@@ -31,11 +31,15 @@ def main() -> None:
     ap.add_argument("--mesh-res", type=int, default=256)
     ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--anneal", type=int, default=5_000)
+    ap.add_argument("--steps-per-dispatch", type=int, default=1)
     args = ap.parse_args()
 
     from nrhints_tpu.configs.config import nr_hints
     from nrhints_tpu.data.synthetic import make_hints_scene
     from nrhints_tpu.train.trainer import launch
+    from nrhints_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     scene_dir = pathlib.Path(args.out) / args.exp / "scene_data"
     if not (scene_dir / "transforms_train.json").exists():
@@ -65,6 +69,9 @@ def main() -> None:
             render_video=args.steps,  # once, at the end of training
         ),
         final_mesh_resolution=args.mesh_res,
+        parallel=dataclasses.replace(
+            cfg.parallel, steps_per_dispatch=args.steps_per_dispatch
+        ),
     )
 
     trainer = launch(cfg)

@@ -20,6 +20,7 @@ from nrhints_tpu.train.step import (
     lr_factor_schedule,
     make_optimizer,
     make_train_step,
+    make_train_step_scan,
 )
 from tests.data_utils import make_synthetic_scene
 
@@ -141,3 +142,50 @@ def test_geometry_warmup_step_variant(scene):
     batch = jax.device_put(dm.next_train_batch())
     state, metrics = step_warm(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_train_step_scan_matches_single_steps(scene):
+    """K steps in one lax.scan dispatch must reproduce K single-step
+    dispatches exactly (same batches, same per-step folded keys)."""
+    K = 4
+    cfg = tiny_system_config()
+    dm = DataManager(scene, batch_size=cfg.model.batch_size)
+    batches = [dm.next_train_batch() for _ in range(K)]
+    key = jax.random.PRNGKey(3)
+
+    state_a, buffers_a, opt_a = _setup(cfg, scene)
+    step1 = make_train_step(cfg, scene.camera, buffers_a, opt_a, donate=False)
+    for i, b in enumerate(batches):
+        state_a, m_a = step1(state_a, jax.device_put(b), jax.random.fold_in(key, i))
+
+    state_b, buffers_b, opt_b = _setup(cfg, scene)
+    scan_fn = make_train_step_scan(
+        cfg, scene.camera, buffers_b, opt_b, n_steps=K, donate=False
+    )
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+    state_b, m_b = scan_fn(state_b, jax.device_put(stacked), key)
+
+    assert int(state_b.step) == K
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_train_step_scan_sharded(scene):
+    """The scanned step composes with the data mesh: stacked batches are
+    sharded on the ray axis, params replicated."""
+    K = 2
+    cfg = tiny_system_config()
+    mesh = mesh_lib.make_mesh(8)
+    state, buffers, opt = _setup(cfg, scene, mesh)
+    scan_fn = make_train_step_scan(cfg, scene.camera, buffers, opt, n_steps=K)
+    dm = DataManager(scene, batch_size=cfg.model.batch_size)
+    batches = [dm.next_train_batch() for _ in range(K)]
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+    stacked = mesh_lib.shard_batch(mesh, stacked, batch_axis=1)
+    state, metrics = scan_fn(state, stacked, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == K

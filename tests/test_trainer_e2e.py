@@ -115,3 +115,99 @@ def test_trainer_video_render(scene, run_dir):
     frame_dir = trainer.log_dir / "video" / f"step_{trainer.global_step:07d}"
     pngs = sorted(frame_dir.glob("*.png"))
     assert len(pngs) == 4  # two clips x two frames
+
+
+def test_trainer_steps_per_dispatch(scene, run_dir):
+    """K-step scan dispatch end-to-end: same hooks fire, checkpoints land
+    on the crossing boundaries, training state reaches end_iter."""
+    from nrhints_tpu.configs.config import ParallelConfig
+
+    cfg = e2e_config(run_dir, end_iter=42)
+    cfg = dataclasses.replace(
+        cfg,
+        parallel=ParallelConfig(steps_per_dispatch=4),
+        exp_name="e2e_scan",
+    )
+    trainer = Trainer(cfg, scene=scene)
+    trainer.run()
+    assert trainer.global_step == 42  # 10 scans of 4 + 2 single-step tail
+
+    lines = [
+        json.loads(l)
+        for l in (trainer.log_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    train_logs = [l for l in lines if "loss" in l]
+    assert train_logs and all(np.isfinite(l["loss"]) for l in train_logs)
+    # save_ckpt=20: crossings at the dispatches covering 20 and 40.
+    assert trainer.ckpt_io.available_steps() == [20, 40]
+    assert [l for l in lines if "val/psnr" in l]
+
+
+def test_checkpoint_corrupted_fallback(scene, run_dir):
+    """Resume-newest must fall back to the previous checkpoint when the
+    newest one is corrupted (reference trainer.py:204-207 semantics)."""
+    import shutil
+
+    import jax
+    import pytest as _pytest
+
+    cfg = e2e_config(run_dir, end_iter=40)
+    cfg = dataclasses.replace(cfg, exp_name="e2e_corrupt")
+    trainer = Trainer(cfg, scene=scene)
+    trainer.run()
+    io = trainer.ckpt_io
+    assert io.available_steps() == [20, 40]
+
+    # Corrupt the newest checkpoint: truncate every array file inside it.
+    newest = io.ckpt_dir / "step_0000040"
+    for p in newest.rglob("*"):
+        if p.is_file():
+            p.write_bytes(b"corrupted")
+
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), trainer.state
+    )
+    with _pytest.warns(UserWarning, match="falling back"):
+        state, step = io.load_newest(abstract)
+    assert step == 20 and int(state.step) == 20
+
+    # With every checkpoint gone, load returns (None, None) — a silent
+    # fresh start, matching the reference's no-checkpoint behavior.
+    shutil.rmtree(io.ckpt_dir / "step_0000020")
+    shutil.rmtree(newest)
+    state, step = io.load_newest(abstract)
+    assert state is None and step is None
+
+
+def test_register_view_one_dispatch(scene, run_dir):
+    """Test-time pose registration: only raygen params move, renderer params
+    are byte-identical, and the whole inner loop runs as one jitted scan."""
+    import jax
+
+    from nrhints_tpu.configs.config import SystemConfig
+    from nrhints_tpu.camera.rays import RayGeneratorConfig
+    from nrhints_tpu.data.manager import DataManager
+    from nrhints_tpu.eval.evaluator import Evaluator
+
+    cfg = e2e_config(run_dir)
+    cfg = dataclasses.replace(
+        cfg,
+        ray_generator=RayGeneratorConfig(cam_opt_mode="SO3xR3", pl_opt=True),
+        exp_name="e2e_register",
+    )
+    trainer = Trainer(cfg, scene=scene)
+    dm = DataManager(scene, batch_size=cfg.model.batch_size)
+    pixels = dm.get_test_view(0)
+    params = jax.device_get(trainer.state.params)
+
+    new_params = trainer.evaluator.register_view(params, pixels, steps=20)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params["renderer"]),
+        jax.tree_util.tree_leaves(new_params["renderer"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    pose_before = np.asarray(params["raygen"]["cam_pose_adjustment"])
+    pose_after = np.asarray(new_params["raygen"]["cam_pose_adjustment"])
+    assert not np.array_equal(pose_before, pose_after)
+    assert np.isfinite(pose_after).all()
