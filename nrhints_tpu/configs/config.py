@@ -68,6 +68,10 @@ class SystemConfig:
     """Capture a jax.profiler device trace over a step range, e.g. "100-110";
     written to <run_dir>/profile for xprof/tensorboard (SURVEY.md §5.1 —
     the reference has no profiling subsystem)."""
+    use_wandb: bool = False
+    """Mirror metrics/images to wandb (the reference's only logging sink,
+    trainer/trainer.py:71-80).  JSONL/CSV to the run dir are always on;
+    wandb is opt-in and degrades silently when the package is absent."""
 
 
 def nr_hints() -> SystemConfig:

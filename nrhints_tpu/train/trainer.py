@@ -63,7 +63,17 @@ class Trainer:
             (self.log_dir / "config.json").write_text(
                 json.dumps(config_to_dict(config), indent=2)
             )
-        self.logger = MetricsLogger(self.log_dir)
+        self.logger = MetricsLogger(
+            self.log_dir,
+            use_wandb=config.use_wandb and self.process_index == 0,
+            wandb_kwargs={
+                "project": "NR2023",  # the reference's project name
+                "group": config.exp_name,
+                "name": config.scene_name,
+                "id": f"{config.exp_name}_{config.scene_name}".replace("/", "_"),
+                "resume": "allow",
+            },
+        )
 
         # Data.
         if scene is None:

@@ -125,3 +125,47 @@ def test_manager_video_bundles(scene):
     f = vb[0]
     assert f.poses.shape == (32, 32, 4, 4)
     assert f.img_indices is None and f.rgb_gt is None
+
+
+def test_parser_npy_file_ext(tmp_path):
+    """Frames with file_ext=.npy (float HDR arrays) load without scaling
+    (reference data_parser.py:87-99 handles .png/.exr/.npy)."""
+    import json
+
+    from tests.data_utils import make_synthetic_scene
+
+    d = make_synthetic_scene(tmp_path / "npy_scene")
+    for split in ("train", "val", "test"):
+        tf = d / f"transforms_{split}.json"
+        meta = json.loads(tf.read_text())
+        for frame in meta["frames"]:
+            png = d / (frame["file_path"] + ".png")
+            import imageio.v3 as iio
+
+            rgba = iio.imread(png) / 255.0
+            np.save(d / (frame["file_path"] + ".npy"), rgba.astype(np.float32))
+            frame["file_ext"] = ".npy"
+        tf.write_text(json.dumps(meta))
+
+    sc = parse_load_nr_data(d)
+    sc_png = parse_load_nr_data(d.parent / "npy_scene")  # same dir, npy ext wins
+    assert sc.images.dtype == np.float32
+    assert np.isfinite(sc.images).all()
+    # npy round-trip matches the png pipeline to quantization error.
+    ref = parse_load_nr_data(_strip_ext(d, tmp_path / "png_scene"))
+    np.testing.assert_allclose(sc.images, ref.images, atol=1.5 / 255)
+
+
+def _strip_ext(src, dst):
+    """Copy a scene dir, dropping the file_ext override (back to .png)."""
+    import json
+    import shutil
+
+    shutil.copytree(src, dst)
+    for split in ("train", "val", "test"):
+        tf = dst / f"transforms_{split}.json"
+        meta = json.loads(tf.read_text())
+        for frame in meta["frames"]:
+            frame.pop("file_ext", None)
+        tf.write_text(json.dumps(meta))
+    return dst

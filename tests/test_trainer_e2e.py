@@ -211,3 +211,15 @@ def test_register_view_one_dispatch(scene, run_dir):
     pose_after = np.asarray(new_params["raygen"]["cam_pose_adjustment"])
     assert not np.array_equal(pose_before, pose_after)
     assert np.isfinite(pose_after).all()
+
+
+def test_trainer_wandb_flag_degrades_gracefully(scene, run_dir):
+    """use_wandb=True without the wandb package must not break training."""
+    cfg = e2e_config(run_dir, end_iter=2)
+    cfg = dataclasses.replace(cfg, use_wandb=True, exp_name="e2e_wandb")
+    trainer = Trainer(cfg, scene=scene)
+    for _ in range(2):
+        trainer.train_iter()
+        trainer.global_step += 1
+    # wandb is absent in this image: the logger must fall back silently.
+    assert trainer.logger._wandb is None
