@@ -291,3 +291,204 @@ def test_pixel_gradient_parity(torch_renderer, jx_params):
             got_g, ref_g, atol=2e-3 * scale, rtol=2e-3,
             err_msg=f"gradient mismatch for {name}",
         )
+
+
+def test_bg_nerf_parity():
+    """Background NeRF: identical weights -> identical (density, raw rgb),
+    incl. the joint PE(view, pl) branch (fields/nerf_density_field.py:66-89)."""
+    from tests.torch_ref import bg_nerf_torch_to_params
+
+    from nrhints_tpu.fields.bg_nerf import BgNeRFConfig, bg_nerf_forward
+
+    torch.manual_seed(5)
+    net = REF.bg.NeRF(d_in=4, d_in_view=6, config=REF.bg.NeRFConfig())
+    params = jax.tree_util.tree_map(jnp.asarray, bg_nerf_torch_to_params(net))
+
+    rng = np.random.default_rng(11)
+    pts = rng.standard_normal((40, 4)).astype(np.float32)
+    views = rng.standard_normal((40, 3)).astype(np.float32)
+    pls = rng.standard_normal((40, 3)).astype(np.float32)
+    with torch.no_grad():
+        a_ref, rgb_ref = net(
+            torch.tensor(pts), torch.tensor(views), torch.tensor(pls)
+        )
+    a, rgb = bg_nerf_forward(
+        params, BgNeRFConfig(), jnp.asarray(pts), jnp.asarray(views), jnp.asarray(pls)
+    )
+    np.testing.assert_allclose(np.asarray(a), a_ref.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rgb), rgb_ref.numpy(), atol=2e-5)
+
+
+def test_full_render_with_background_parity():
+    """Full eval-mode render with the NeRF++ background enabled: rgb and
+    weights must match the reference (render_outside + inside/outside
+    alpha blending, models/neus_hint_model.py:434-473,716-724)."""
+    torch.manual_seed(0)
+    ref_cfg = REF.neus.NeuSModelConfig(
+        renderer=REF.neus.NeuSRendererConfig(use_outside_nerf=True)
+    )
+    renderer = REF.neus.NeuSHintRenderer(ref_cfg)
+    jxp = jax.tree_util.tree_map(jnp.asarray, renderer_torch_to_params(renderer))
+
+    rays_o, rays_d, pls, near, far = _make_rays(B=5, seed=9)
+    with torch.no_grad():
+        ref = renderer.forward(
+            _torch_ray_bundle(rays_o, rays_d, pls, near, far),
+            is_training=False,
+            background_rgb=None,
+        )
+    cfg = ModelConfig(renderer=RendererConfig(use_outside_nerf=True))
+    got = render_rays(
+        jxp,
+        cfg,
+        RayBundle(
+            origins=jnp.asarray(rays_o),
+            directions=jnp.asarray(rays_d),
+            pl_positions=jnp.asarray(pls),
+            nears=jnp.asarray(near),
+            fars=jnp.asarray(far),
+        ),
+        background_rgb=None,
+    )
+    np.testing.assert_allclose(np.asarray(got.rgb), ref.rgb.detach().numpy(), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(got.weights), ref.weights.detach().numpy(), atol=5e-4
+    )
+
+
+def test_partial_shadow_hint_parity():
+    """Partial-hint variant (n_shadow_importance_clip > 0): per-sample
+    visibilities and rgb must match the reference's mini-chunked march
+    (models/neus_hint_model.py:554-576)."""
+    torch.manual_seed(0)
+    ref_cfg = REF.neus.NeuSModelConfig(
+        renderer=REF.neus.NeuSRendererConfig(n_shadow_importance_clip=4)
+    )
+    renderer = REF.neus.NeuSHintRenderer(ref_cfg)
+    jxp = jax.tree_util.tree_map(jnp.asarray, renderer_torch_to_params(renderer))
+
+    rays_o, rays_d, pls, near, far = _make_rays(B=4, seed=12)
+    with torch.no_grad():
+        ref = renderer.forward(
+            _torch_ray_bundle(rays_o, rays_d, pls, near, far),
+            is_training=False,
+            background_rgb=torch.ones([1, 3]),
+        )
+    cfg = ModelConfig(renderer=RendererConfig(n_shadow_importance_clip=4))
+    got = render_rays(
+        jxp,
+        cfg,
+        RayBundle(
+            origins=jnp.asarray(rays_o),
+            directions=jnp.asarray(rays_d),
+            pl_positions=jnp.asarray(pls),
+            nears=jnp.asarray(near),
+            fars=jnp.asarray(far),
+        ),
+        background_rgb=jnp.ones((1, 3)),
+    )
+    np.testing.assert_allclose(np.asarray(got.rgb), ref.rgb.detach().numpy(), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(got.visibilities), ref.visibilities.detach().numpy(), atol=1e-3
+    )
+
+
+def test_ray_generator_parity():
+    """Pixel->ray generation with synthetic noise buffers AND learned
+    SO3xR3 pose + pl deltas: origins, directions, light positions, near/far
+    must match the reference (camera/ray_generator.py:75-150)."""
+    import types
+
+    import camera.ray_generator as ref_rg
+    from camera.camera_model import CameraModel as RefCameraModel
+
+    # The reference RawPixelBundle lives in data_loader, which imports tyro
+    # (absent here); forward() only reads attributes, so a namespace works.
+    RefRawPixelBundle = types.SimpleNamespace
+
+    from nrhints_tpu.camera.model import CameraModel
+    from nrhints_tpu.camera.rays import (
+        RayGeneratorConfig,
+        generate_rays,
+        ray_generator_init,
+    )
+    from nrhints_tpu.core.structs import PixelBundle
+
+    torch.manual_seed(0)
+    B, N_IMG = 16, 12
+    cam_kwargs = dict(H=64, W=64, cx=31.0, cy=33.0, fx=80.0, fy=82.0, zn=2.0, zf=9.0)
+    ref_cfg = ref_rg.RayGeneratorConfig(
+        cam_opt_mode="SO3xR3",
+        pl_opt=True,
+        cam_position_noise_std=0.02,
+        cam_orientation_noise_std=0.01,
+        pl_position_noise_std=0.05,
+    )
+    ref_gen = ref_rg.RayGenerator(RefCameraModel(**cam_kwargs), N_IMG, ref_cfg)
+    with torch.no_grad():
+        ref_gen.cam_pose_adjustment.normal_(0.0, 0.01)
+        ref_gen.pl_adjustment.normal_(0.0, 0.05)
+
+    rng = np.random.default_rng(4)
+    h = rng.integers(0, 64, B).astype(np.float32)
+    w = rng.integers(0, 64, B).astype(np.float32)
+    img_idx = rng.integers(0, N_IMG, B).astype(np.int64)
+    from tests.data_utils import look_at_pose
+
+    poses = np.stack(
+        [look_at_pose(rng.normal(0, 1, 3).astype(np.float32) * 3.0) for _ in range(B)]
+    )
+    pls = rng.normal(0, 2, (B, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_rays = ref_gen(
+            RefRawPixelBundle(
+                h_indices=torch.tensor(h)[:, None],
+                w_indices=torch.tensor(w)[:, None],
+                img_indices=torch.tensor(img_idx)[:, None],
+                poses=torch.tensor(poses),
+                pls=torch.tensor(pls),
+                rgb_gt=None,
+            )
+        )
+
+    cfg = RayGeneratorConfig(
+        cam_opt_mode="SO3xR3",
+        pl_opt=True,
+        cam_position_noise_std=0.02,
+        cam_orientation_noise_std=0.01,
+        pl_position_noise_std=0.05,
+    )
+    params, buffers = ray_generator_init(jax.random.PRNGKey(0), cfg, N_IMG)
+    # Same learned deltas and the same (torch-drawn) noise buffers.
+    params = {
+        "cam_pose_adjustment": jnp.asarray(ref_gen.cam_pose_adjustment.detach().numpy()),
+        "pl_adjustment": jnp.asarray(ref_gen.pl_adjustment.detach().numpy()),
+    }
+    buffers = {
+        "cam_pose_noise": jnp.asarray(ref_gen.cam_pose_noise.numpy()),
+        "pl_noise": jnp.asarray(ref_gen.pl_noise.numpy()),
+    }
+    got = generate_rays(
+        params,
+        buffers,
+        CameraModel(**cam_kwargs),
+        cfg,
+        PixelBundle(
+            h_indices=jnp.asarray(h),
+            w_indices=jnp.asarray(w),
+            poses=jnp.asarray(poses),
+            pls=jnp.asarray(pls),
+            img_indices=jnp.asarray(img_idx.astype(np.int32)),
+            rgb_gt=None,
+        ),
+    )
+    np.testing.assert_allclose(np.asarray(got.origins), ref_rays.origins.numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got.directions), ref_rays.directions.numpy(), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.pl_positions), ref_rays.pl_positions.numpy(), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(got.nears), ref_rays.nears.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.fars), ref_rays.fars.numpy(), atol=1e-5)

@@ -20,6 +20,8 @@ def import_reference():
     """Make the reference package importable; returns its module namespace."""
     if "mcubes" not in sys.modules:
         sys.modules["mcubes"] = types.ModuleType("mcubes")
+    if "tyro" not in sys.modules:  # shm_helper imports it at module level
+        sys.modules["tyro"] = types.ModuleType("tyro")
     if _REFERENCE_PATH not in sys.path:
         sys.path.insert(0, _REFERENCE_PATH)
     import models.neus_hint_model as neus  # noqa
