@@ -161,6 +161,16 @@ def _torch_ray_bundle(rays_o, rays_d, pls, near, far):
     )
 
 
+def _jax_ray_bundle(rays_o, rays_d, pls, near, far):
+    return RayBundle(
+        origins=jnp.asarray(rays_o),
+        directions=jnp.asarray(rays_d),
+        pl_positions=jnp.asarray(pls),
+        nears=jnp.asarray(near),
+        fars=jnp.asarray(far),
+    )
+
+
 @pytest.fixture(scope="module")
 def parity_outputs(torch_renderer, jx_params):
     """Run both full renderers in eval mode on identical rays."""
@@ -176,13 +186,7 @@ def parity_outputs(torch_renderer, jx_params):
     got = render_rays(
         jx_params,
         cfg,
-        RayBundle(
-            origins=jnp.asarray(rays_o),
-            directions=jnp.asarray(rays_d),
-            pl_positions=jnp.asarray(pls),
-            nears=jnp.asarray(near),
-            fars=jnp.asarray(far),
-        ),
+        _jax_ray_bundle(rays_o, rays_d, pls, near, far),
         background_rgb=jnp.ones((1, 3)),
     )
     return ref, got
@@ -259,13 +263,7 @@ def test_pixel_gradient_parity(torch_renderer, jx_params):
         out = render_rays(
             params,
             cfg,
-            RayBundle(
-                origins=jnp.asarray(rays_o),
-                directions=jnp.asarray(rays_d),
-                pl_positions=jnp.asarray(pls),
-                nears=jnp.asarray(near),
-                fars=jnp.asarray(far),
-            ),
+            _jax_ray_bundle(rays_o, rays_d, pls, near, far),
             background_rgb=jnp.ones((1, 3)),
         )
         rgb_l = jnp.sum(jnp.abs(out.rgb - gt)) / (4 + 1e-5)
@@ -341,13 +339,7 @@ def test_full_render_with_background_parity():
     got = render_rays(
         jxp,
         cfg,
-        RayBundle(
-            origins=jnp.asarray(rays_o),
-            directions=jnp.asarray(rays_d),
-            pl_positions=jnp.asarray(pls),
-            nears=jnp.asarray(near),
-            fars=jnp.asarray(far),
-        ),
+        _jax_ray_bundle(rays_o, rays_d, pls, near, far),
         background_rgb=None,
     )
     np.testing.assert_allclose(np.asarray(got.rgb), ref.rgb.detach().numpy(), atol=5e-4)
@@ -378,13 +370,7 @@ def test_partial_shadow_hint_parity():
     got = render_rays(
         jxp,
         cfg,
-        RayBundle(
-            origins=jnp.asarray(rays_o),
-            directions=jnp.asarray(rays_d),
-            pl_positions=jnp.asarray(pls),
-            nears=jnp.asarray(near),
-            fars=jnp.asarray(far),
-        ),
+        _jax_ray_bundle(rays_o, rays_d, pls, near, far),
         background_rgb=jnp.ones((1, 3)),
     )
     np.testing.assert_allclose(np.asarray(got.rgb), ref.rgb.detach().numpy(), atol=5e-4)
@@ -397,14 +383,9 @@ def test_ray_generator_parity():
     """Pixel->ray generation with synthetic noise buffers AND learned
     SO3xR3 pose + pl deltas: origins, directions, light positions, near/far
     must match the reference (camera/ray_generator.py:75-150)."""
-    import types
-
     import camera.ray_generator as ref_rg
     from camera.camera_model import CameraModel as RefCameraModel
-
-    # The reference RawPixelBundle lives in data_loader, which imports tyro
-    # (absent here); forward() only reads attributes, so a namespace works.
-    RefRawPixelBundle = types.SimpleNamespace
+    from data.data_loader import RawPixelBundle as RefRawPixelBundle
 
     from nrhints_tpu.camera.model import CameraModel
     from nrhints_tpu.camera.rays import (
@@ -460,15 +441,16 @@ def test_ray_generator_parity():
         pl_position_noise_std=0.05,
     )
     params, buffers = ray_generator_init(jax.random.PRNGKey(0), cfg, N_IMG)
-    # Same learned deltas and the same (torch-drawn) noise buffers.
-    params = {
-        "cam_pose_adjustment": jnp.asarray(ref_gen.cam_pose_adjustment.detach().numpy()),
-        "pl_adjustment": jnp.asarray(ref_gen.pl_adjustment.detach().numpy()),
-    }
-    buffers = {
-        "cam_pose_noise": jnp.asarray(ref_gen.cam_pose_noise.numpy()),
-        "pl_noise": jnp.asarray(ref_gen.pl_noise.numpy()),
-    }
+    # Overwrite with the reference's learned deltas / torch-drawn noise —
+    # asserting the keys first so init/generate_rays key drift fails here.
+    assert set(params) == {"cam_pose_adjustment", "pl_adjustment"}
+    assert set(buffers) == {"cam_pose_noise", "pl_noise"}
+    params["cam_pose_adjustment"] = jnp.asarray(
+        ref_gen.cam_pose_adjustment.detach().numpy()
+    )
+    params["pl_adjustment"] = jnp.asarray(ref_gen.pl_adjustment.detach().numpy())
+    buffers["cam_pose_noise"] = jnp.asarray(ref_gen.cam_pose_noise.numpy())
+    buffers["pl_noise"] = jnp.asarray(ref_gen.pl_noise.numpy())
     got = generate_rays(
         params,
         buffers,
