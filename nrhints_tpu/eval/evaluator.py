@@ -35,10 +35,17 @@ from nrhints_tpu.train.step import forward_pipeline
 
 
 class Evaluator:
-    def __init__(self, cfg: SystemConfig, camera: CameraModel, buffers: dict):
+    def __init__(
+        self, cfg: SystemConfig, camera: CameraModel, buffers: dict, mesh=None
+    ):
+        """``mesh``: optional ('data',) device mesh — whole-image renders
+        shard their rays over it (SURVEY.md §2.5 item 3: eval parallelism
+        by pixels instead of the reference's python chunk loop).  View
+        assignment across HOSTS stays strided like the reference's ranks."""
         self.cfg = cfg
         self.camera = camera
         self.buffers = buffers
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         self._render_image_jit = jax.jit(self._render_image_impl)
         self._register_jit = None  # built lazily
 
@@ -82,34 +89,58 @@ class Evaluator:
             )
         return res
 
-    def _render_image_impl(self, params, pixels_flat: PixelBundle):
-        n = pixels_flat.h_indices.shape[0]
+    def _render_image_impl(self, params, batched: PixelBundle):
+        """[n_chunks, chunk, ...] pixel pytree -> result pytree, swept with
+        ``lax.map`` (sequential fixed-shape blocks inside one dispatch)."""
+        return jax.lax.map(lambda c: self._render_chunk(params, c), batched)
+
+    def _chunk_and_shard(self, flat: PixelBundle, n: int):
+        """Pad + reshape flat rays to [n_chunks, chunk, ...]; under a mesh,
+        shard the chunk (ray) axis over 'data' and replicate params so every
+        mapped block runs data-parallel across the chips."""
         # Clamp to the image size: one dispatch when the image is smaller
         # than the chunk (and no dead padding rays on tiny test images).
         chunk = min(self.cfg.model.inference_chunk_size, n)
+        if self.mesh is not None:
+            d = self.mesh.size
+            # Per-device chunk size preserved: chunk rays on each chip.
+            chunk = -(-min(chunk * d, max(n, d)) // d) * d
         n_chunks = -(-n // chunk)
         pad = n_chunks * chunk - n
 
         def pad_leaf(x):
             if x is None:
                 return None
+            x = np.asarray(x)
             pad_width = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-            return jnp.pad(x, pad_width, mode="edge").reshape(
+            return np.pad(x, pad_width, mode="edge").reshape(
                 (n_chunks, chunk) + x.shape[1:]
             )
 
-        batched = jax.tree_util.tree_map(pad_leaf, pixels_flat)
-        res = jax.lax.map(lambda c: self._render_chunk(params, c), batched)
-        return jax.tree_util.tree_map(
-            lambda x: x.reshape((n_chunks * chunk,) + x.shape[2:])[:n], res
-        )
+        batched = jax.tree_util.tree_map(pad_leaf, flat)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            batched = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sh), batched
+            )
+        return batched, n_chunks * chunk
 
     def render_image(self, params, pixels: PixelBundle) -> Dict[str, np.ndarray]:
         """Render a [H, W] pixel bundle -> host dict of [H, W, C] images."""
         H, W = pixels.h_indices.shape[:2]
-        flat = pixels.flatten()
-        res = self._render_image_jit(params, flat)
-        res = {k: np.asarray(v).reshape(H, W, -1) for k, v in res.items()}
+        n = H * W
+        batched, _total = self._chunk_and_shard(pixels.flatten(), n)
+        if self.mesh is not None:
+            from nrhints_tpu.parallel import mesh as mesh_lib
+
+            params = mesh_lib.replicate(self.mesh, params)
+        res = self._render_image_jit(params, batched)
+        res = {
+            k: np.asarray(v).reshape((_total,) + v.shape[2:])[:n].reshape(H, W, -1)
+            for k, v in res.items()
+        }
 
         # Rotate normal maps into the camera frame (reference :125-133).
         rot = np.linalg.inv(np.asarray(pixels.poses)[0, 0, :3, :3])

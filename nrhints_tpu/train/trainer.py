@@ -132,7 +132,7 @@ class Trainer:
         # Scanned K-step-per-dispatch variants, built lazily on first use.
         self._scan_steps: dict[bool, object] = {}
 
-        self.evaluator = Evaluator(config, self.camera, self.buffers)
+        self.evaluator = Evaluator(config, self.camera, self.buffers, mesh=self.mesh)
         self.ckpt_io = CheckpointIO(self.log_dir)
         self.global_step = 0
         self._load_ckpt()

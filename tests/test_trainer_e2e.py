@@ -223,3 +223,27 @@ def test_trainer_wandb_flag_degrades_gracefully(scene, run_dir):
         trainer.global_step += 1
     # wandb is absent in this image: the logger must fall back silently.
     assert trainer.logger._wandb is None
+
+
+def test_eval_sharded_render_matches_unsharded(scene, run_dir):
+    """Whole-image eval rendering sharded over the 8-device mesh must equal
+    the single-device render (rays are data-parallel; params replicated)."""
+    import jax
+
+    from nrhints_tpu.eval.evaluator import Evaluator
+    from nrhints_tpu.parallel import mesh as mesh_lib
+
+    cfg = e2e_config(run_dir)
+    trainer = Trainer(cfg, scene=scene)
+    params = jax.device_get(trainer.state.params)
+    buffers = jax.device_get(trainer.buffers)
+    pixels = trainer.data_manager.get_test_view(0)
+
+    ev1 = Evaluator(cfg, trainer.camera, buffers, mesh=None)
+    ev8 = Evaluator(cfg, trainer.camera, buffers, mesh=mesh_lib.make_mesh(8))
+    assert ev8.mesh is not None
+    r1 = ev1.render_image(params, pixels)
+    r8 = ev8.render_image(params, pixels)
+    assert set(r1) == set(r8)
+    for k in r1:
+        np.testing.assert_allclose(r1[k], r8[k], atol=2e-5, err_msg=k)
