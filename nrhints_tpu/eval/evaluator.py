@@ -39,15 +39,27 @@ class Evaluator:
         self, cfg: SystemConfig, camera: CameraModel, buffers: dict, mesh=None
     ):
         """``mesh``: optional ('data',) device mesh — whole-image renders
-        shard their rays over it (SURVEY.md §2.5 item 3: eval parallelism
-        by pixels instead of the reference's python chunk loop).  View
-        assignment across HOSTS stays strided like the reference's ranks."""
+        shard their rays over THIS HOST'S devices from it (SURVEY.md §2.5
+        item 3: eval parallelism by pixels instead of the reference's python
+        chunk loop).  View assignment across HOSTS stays strided like the
+        reference's ranks, so each host renders different views — sharding
+        a view's rays over the global mesh would interleave rays from
+        different views; eval sharding must be process-local."""
         self.cfg = cfg
         self.camera = camera
         self.buffers = buffers
-        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        self.mesh = None
+        if mesh is not None:
+            local = [
+                d for d in mesh.devices.flat if d.process_index == jax.process_index()
+            ]
+            if len(local) > 1:
+                from jax.sharding import Mesh
+
+                self.mesh = Mesh(np.asarray(local), ("data",))
         self._render_image_jit = jax.jit(self._render_image_impl)
         self._register_jit = None  # built lazily
+        self._params_cache: tuple = (None, None)  # (id(params), on-mesh params)
 
     # ------------------------------------------------------------------
     # Whole-image rendering
@@ -127,15 +139,31 @@ class Evaluator:
             )
         return batched, n_chunks * chunk
 
+    def _prepare_params(self, params):
+        """Replicate params over the eval mesh ONCE per distinct pytree
+        (render_test_views/render_video loop many views with the same
+        params; re-uploading the full model per view would be a needless
+        round trip over the device link)."""
+        if self.mesh is None:
+            return params
+        if self._params_cache[0] is params:
+            return self._params_cache[1]
+        from nrhints_tpu.parallel import mesh as mesh_lib
+
+        try:
+            on_mesh = mesh_lib.replicate(self.mesh, params)
+        except Exception:  # cross-mesh transfer (multihost): hop via host
+            on_mesh = mesh_lib.replicate(self.mesh, jax.device_get(params))
+        # Keep a reference to the source pytree so identity can't be reused.
+        self._params_cache = (params, on_mesh)
+        return on_mesh
+
     def render_image(self, params, pixels: PixelBundle) -> Dict[str, np.ndarray]:
         """Render a [H, W] pixel bundle -> host dict of [H, W, C] images."""
         H, W = pixels.h_indices.shape[:2]
         n = H * W
         batched, _total = self._chunk_and_shard(pixels.flatten(), n)
-        if self.mesh is not None:
-            from nrhints_tpu.parallel import mesh as mesh_lib
-
-            params = mesh_lib.replicate(self.mesh, params)
+        params = self._prepare_params(params)
         res = self._render_image_jit(params, batched)
         res = {
             k: np.asarray(v).reshape((_total,) + v.shape[2:])[:n].reshape(H, W, -1)

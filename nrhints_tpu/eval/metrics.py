@@ -19,9 +19,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@functools.partial(jax.jit, static_argnums=(2,))
+def _psnr_jit(rgb, rgb_gt, data_range):
+    mse = jnp.mean((rgb - rgb_gt) ** 2)
+    return 10.0 * jnp.log10(data_range ** 2 / (mse + 1e-12))
+
+
 def psnr(rgb: jnp.ndarray, rgb_gt: jnp.ndarray, data_range: float = 1.0) -> float:
-    mse = jnp.mean((jnp.asarray(rgb) - jnp.asarray(rgb_gt)) ** 2)
-    return float(10.0 * jnp.log10(data_range ** 2 / (mse + 1e-12)))
+    return float(_psnr_jit(jnp.asarray(rgb), jnp.asarray(rgb_gt), data_range))
 
 
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
@@ -113,18 +118,18 @@ def _alexnet_features(w: dict, x: jnp.ndarray) -> list[jnp.ndarray]:
     return feats
 
 
-def lpips(rgb: jnp.ndarray, rgb_gt: jnp.ndarray) -> float:
-    """LPIPS(alex) distance; NaN when pretrained weights are unavailable."""
-    w = _load_lpips_weights()
-    if w is None:
-        return float("nan")
+@jax.jit
+def _lpips_jit(w: dict, rgb: jnp.ndarray, rgb_gt: jnp.ndarray) -> jnp.ndarray:
+    """The whole two-trunk LPIPS forward in ONE compiled program — eager
+    dispatch of ~60 convs/reductions is minutes-slow over a remote device
+    link, and this runs once per test view."""
     # normalize=True semantics: inputs in [0,1] -> [-1,1], then ImageNet-ish
     # scaling baked into the lpips 'shift'/'scale' constants.
     shift = jnp.array([-0.030, -0.088, -0.188])[None, :, None, None]
     scale = jnp.array([0.458, 0.448, 0.450])[None, :, None, None]
 
     def prep(img):
-        img = jnp.moveaxis(jnp.asarray(img), -1, 0)[None] * 2.0 - 1.0
+        img = jnp.moveaxis(img, -1, 0)[None] * 2.0 - 1.0
         return (img - shift) / scale
 
     f1 = _alexnet_features(w, prep(rgb))
@@ -137,4 +142,12 @@ def lpips(rgb: jnp.ndarray, rgb_gt: jnp.ndarray) -> float:
         lin = w[f"lin{i}_w"]  # [1, C, 1, 1]
         d = jnp.sum(d * lin, axis=1, keepdims=True)
         total = total + jnp.mean(d)
-    return float(total)
+    return total
+
+
+def lpips(rgb: jnp.ndarray, rgb_gt: jnp.ndarray) -> float:
+    """LPIPS(alex) distance; NaN when pretrained weights are unavailable."""
+    w = _load_lpips_weights()
+    if w is None:
+        return float("nan")
+    return float(_lpips_jit(w, jnp.asarray(rgb), jnp.asarray(rgb_gt)))

@@ -44,12 +44,13 @@ class MetricsLogger:
         if self._csv_writer is None or fields != self._csv_fields:
             if self._csv_file:
                 self._csv_file.close()
-            new = not self._csv_path.exists()
             self._csv_file = open(self._csv_path, "a", newline="", buffering=1)
             self._csv_writer = csv.DictWriter(self._csv_file, fieldnames=fields, extrasaction="ignore")
             self._csv_fields = fields
-            if new:
-                self._csv_writer.writeheader()
+            # Header on EVERY field change (train metrics and val/* metrics
+            # interleave): appending rows under a stale header would silently
+            # misalign columns for the rest of the run.
+            self._csv_writer.writeheader()
         self._csv_writer.writerow(record)
 
         if self._wandb is not None:

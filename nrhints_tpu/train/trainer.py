@@ -91,7 +91,10 @@ class Trainer:
         if config.parallel.scale_global_batch:
             global_batch *= n_dev
         if global_batch % self.process_count:
-            raise ValueError("batch size must divide the number of hosts")
+            raise ValueError(
+                f"global batch size ({global_batch}) must be divisible by "
+                f"the number of hosts ({self.process_count})"
+            )
         self.local_batch = global_batch // self.process_count
         self.global_batch = global_batch
 
@@ -129,8 +132,9 @@ class Trainer:
             if config.model.geometry_warmup_end > 0
             else None
         )
-        # Scanned K-step-per-dispatch variants, built lazily on first use.
-        self._scan_steps: dict[bool, object] = {}
+        # Scanned K-step-per-dispatch variants, built lazily on first use,
+        # keyed by (geometry_warmup, n_steps).
+        self._scan_steps: dict[tuple, object] = {}
 
         self.evaluator = Evaluator(config, self.camera, self.buffers, mesh=self.mesh)
         self.ckpt_io = CheckpointIO(self.log_dir)
@@ -143,6 +147,7 @@ class Trainer:
             a, b = (int(v) for v in config.profile_steps.split("-"))
             self._profile_range = (a, b)
         self._profiling = False
+        self._profile_done = False
 
     # ------------------------------------------------------------------
 
@@ -180,16 +185,24 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _maybe_profile(self) -> None:
+        """Start/stop the jax.profiler window.  Crossing-based so K-step
+        dispatch chunks can't jump over the [a, b) range; if the window is
+        overshot entirely, at least one dispatch is still captured."""
         if self._profile_range is None:
             return
         a, b = self._profile_range
-        if not self._profiling and a <= self.global_step < b:
+        if not self._profiling and not self._profile_done and self.global_step >= a:
             jax.profiler.start_trace(str(self.log_dir / "profile"))
             self._profiling = True
         elif self._profiling and self.global_step >= b:
+            self._stop_profile()
+
+    def _stop_profile(self) -> None:
+        if self._profiling:
             jax.block_until_ready(self.state.params)
             jax.profiler.stop_trace()
             self._profiling = False
+            self._profile_done = True
 
     def _in_warmup(self) -> bool:
         return (
@@ -227,7 +240,7 @@ class Trainer:
         # K steps in one dispatch: stacked batches [K, rays, ...] sharded on
         # the ray axis; the scan folds per-step keys from the carried step
         # counter, so the draws match the single-step loop exactly.
-        scan_fn = self._scan_steps.get(warmup)
+        scan_fn = self._scan_steps.get((warmup, n_steps))
         if scan_fn is None:
             scan_fn = make_train_step_scan(
                 self.config,
@@ -237,7 +250,7 @@ class Trainer:
                 n_steps=n_steps,
                 geometry_warmup=warmup,
             )
-            self._scan_steps[warmup] = scan_fn
+            self._scan_steps[(warmup, n_steps)] = scan_fn
         batches = [self.data_manager.next_train_batch() for _ in range(n_steps)]
         stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
         stacked = mesh_lib.shard_batch(self.mesh, stacked, batch_axis=1)
@@ -279,6 +292,7 @@ class Trainer:
                     self.dump_mesh()
                 if self._crossed(prev, gs, intervals.render_video):
                     self.render_video()
+            self._stop_profile()  # flush a window left open at end_iter
 
         self.dump_mesh(resolution=cfg.final_mesh_resolution)
         self.render_test_views(is_final=True)
@@ -292,7 +306,14 @@ class Trainer:
         total = self.data_manager.test_view_num
         skip = 1 if is_final else self.config.data.testset_skip
         start = self.process_index * skip
-        params = jax.device_get(self.state.params)
+        # Single host: keep params device-resident (the evaluator replicates
+        # once per pytree); multihost arrays are not locally addressable for
+        # the per-host eval mesh, so hop via host there.
+        params = (
+            self.state.params
+            if self.process_count == 1
+            else jax.device_get(self.state.params)
+        )
 
         metrics_list = []
         for idx in range(start, total, skip * self.process_count):
@@ -308,8 +329,12 @@ class Trainer:
         if self.process_count > 1:
             from jax.experimental import multihost_utils
 
+            # process_allgather requires the SAME shape on every host; hosts
+            # render unequal view counts when skip*P doesn't divide total,
+            # so pad to the common maximum (NaN rows are dropped on decode).
+            n_rows = -(-total // (skip * self.process_count))
             gathered = multihost_utils.process_allgather(
-                _metrics_to_array(metrics_list)
+                _metrics_to_array(metrics_list, n_rows)
             )
             all_metrics = _array_to_metrics(gathered)
         else:
@@ -387,7 +412,11 @@ class Trainer:
         bundles = self.data_manager.get_video_pixel_bundles(
             self.config.data.video_frame_num, is_z_up=self.config.data.is_z_up
         )
-        params = jax.device_get(self.state.params)
+        params = (
+            self.state.params
+            if self.process_count == 1
+            else jax.device_get(self.state.params)
+        )
 
         n = len(bundles)
         frames_per = -(-n // self.process_count)
@@ -436,10 +465,13 @@ class Trainer:
             print(f"mp4 encode unavailable ({e!r}); PNG frames kept in {frame_dir}")
 
 
-def _metrics_to_array(metrics_list):
-    """Fixed-key metric dicts -> [n, k] array for allgather (padded)."""
+def _metrics_to_array(metrics_list, n_rows=None):
+    """Fixed-key metric dicts -> [n_rows, k] array for allgather; rows are
+    NaN-padded to the same shape on every host."""
     keys = ("psnr", "ssim", "lpips")
-    arr = np.full((max(len(metrics_list), 1), len(keys)), np.nan, dtype=np.float32)
+    if n_rows is None:
+        n_rows = len(metrics_list)
+    arr = np.full((max(n_rows, 1), len(keys)), np.nan, dtype=np.float32)
     for i, m in enumerate(metrics_list):
         for j, k in enumerate(keys):
             if k in m:
