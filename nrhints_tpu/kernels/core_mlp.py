@@ -38,8 +38,6 @@ from nrhints_tpu.fields.mlp import weight_norm_effective_weight
 from nrhints_tpu.fields.sdf import SDFNetConfig, _layer_dims
 from nrhints_tpu.kernels.common import INV_SQRT2, softplus100_gate
 
-_BIG_NEG = -1e9
-
 
 # ---------------------------------------------------------------------------
 # Pure-jnp core programs (run in-kernel on VMEM values; also the test twins)
@@ -298,10 +296,7 @@ def _sdf_core_bwd_pallas(opts, weights, x, cots):
         dx_ref[:] = dx
 
     w_specs = _weight_specs(weights)
-    dw_specs = [
-        pl.BlockSpec(w.shape, (lambda nd: (lambda i: (0,) * nd))(w.ndim), memory_space=pltpu.VMEM)
-        for w in weights
-    ]
+    dw_specs = _weight_specs(weights)
     outs = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -443,13 +438,7 @@ def _mlp_bwd_pallas(opts, weights, x, g):
         kernel,
         grid=(n_blocks,),
         in_specs=[_row_spec(bp, d0), _row_spec(bp, d_out), *_weight_specs(weights)],
-        out_specs=(
-            *[
-                pl.BlockSpec(w.shape, (lambda nd: (lambda i: (0,) * nd))(w.ndim), memory_space=pltpu.VMEM)
-                for w in weights
-            ],
-            _row_spec(bp, d0),
-        ),
+        out_specs=(*_weight_specs(weights), _row_spec(bp, d0)),
         out_shape=(
             *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights],
             jax.ShapeDtypeStruct((n_blocks * bp, d0), jnp.float32),

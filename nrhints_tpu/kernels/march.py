@@ -401,6 +401,12 @@ def fused_importance_z(
 ) -> jnp.ndarray:
     """[B, 64] stratified z -> [B, 128] refined z (sorted); the initial
     stratified SDF sweep runs inside the kernel."""
+    if z0.shape[1] != N_BUF - rounds * n_new:
+        raise ValueError(
+            f"fused march needs z0 with {N_BUF - rounds * n_new} samples "
+            f"(= {N_BUF} buffer - {rounds}x{n_new} refinement), got "
+            f"{z0.shape[1]} — the validity masks assume this geometry"
+        )
     (rays_o, rays_d, z0), b, n_blocks = _pad_rays([rays_o, rays_d, z0], block_rays)
     weights, w_specs = _weights_and_specs(params, cfg, mlp_dtype)
     n0 = z0.shape[1]
@@ -449,6 +455,12 @@ def fused_shadow_tau(
     mlp_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Shadow rays -> final transmittance [B, 1] (initial sweep in-kernel)."""
+    if z0.shape[1] != N_BUF - rounds * n_new:
+        raise ValueError(
+            f"fused march needs z0 with {N_BUF - rounds * n_new} samples "
+            f"(= {N_BUF} buffer - {rounds}x{n_new} refinement), got "
+            f"{z0.shape[1]} — the validity masks assume this geometry"
+        )
     (ray_o, ray_d, z0, sample_dist), b, n_blocks = _pad_rays(
         [ray_o, ray_d, z0, sample_dist], block_rays
     )

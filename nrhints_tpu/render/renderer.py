@@ -611,6 +611,11 @@ def _partial_shadow_hint(
     rcfg = cfg.renderer
     batch, n_total = z_vals.shape
     n_clip = rcfg.n_shadow_importance_clip
+    if n_total % n_clip:
+        raise ValueError(
+            f"n_shadow_importance_clip ({n_clip}) must divide the total "
+            f"sample count ({n_total})"
+        )
     clip_ratio = n_total // n_clip
 
     hint_z = z_vals[:, ::clip_ratio][:, :n_clip]
@@ -651,25 +656,55 @@ def _partial_shadow_hint(
 
     vis = vis.reshape(batch, n_clip, 1)
     vis_full = jnp.repeat(vis, clip_ratio, axis=1)  # [B, n_total, 1]
-    max_idx = jnp.argmax(weights, axis=1, keepdims=True)
+    # Argmax over the NeuS samples only: with the background NeRF on,
+    # `weights` extends past n_total, and an argmax landing on a background
+    # sample would index out of vis_full (the reference's gather would
+    # hard-error there, models/neus_hint_model.py:574-575 — deliberate fix).
+    max_idx = jnp.argmax(weights[:, :n_total], axis=1, keepdims=True)
     shadow_map = jnp.take_along_axis(vis_full[..., 0], max_idx, axis=1)
     return vis_full.reshape(-1, 1), shadow_map
 
 
-def _sphere_trace_depth(params, cfg: ModelConfig, rays_o, rays_d, fars, n_iters: int = 128, eps: float = 1e-4):
-    """Sphere tracing depth (reference sphere_trace :359-371) as a
-    fixed-trip-count masked ``fori_loop`` (TPU-friendly; no early exit)."""
+def _sphere_trace_depth(
+    params,
+    cfg: ModelConfig,
+    rays_o,
+    rays_d,
+    fars,
+    n_iters: int = 2000,
+    eps: float = 1e-4,
+    far: float = 100.0,
+):
+    """Sphere tracing depth with the reference's constants — 2000 masked
+    iterations, 1e-4 convergence, escape bound 100 (reference forward calls
+    sphere_trace(rays_o, rays_d, 2000, 1e-4, 100), neus_hint_model.py:528).
+    A ``while_loop`` reproduces the reference's all-converged early break
+    (data-dependent trip counts are fine outside the batch dims on TPU).
+    ``fars`` is accepted for signature stability but, like the reference,
+    the escape test uses the fixed ``far`` bound."""
+    del fars
+    # no-grad in the reference; cut tangents at the inputs so reverse-mode
+    # AD never needs to differentiate through the while_loop.
+    params = jax.lax.stop_gradient(params)
+    rays_o = jax.lax.stop_gradient(rays_o)
+    rays_d = jax.lax.stop_gradient(rays_d)
 
-    def body(_, carry):
-        pts, depths = carry
+    def cond(carry):
+        i, _pts, _depths, all_done = carry
+        return jnp.logical_and(i < n_iters, jnp.logical_not(all_done))
+
+    def body(carry):
+        i, pts, depths, _ = carry
         sdf = sdf_only(params["sdf"], cfg.sdf_network, pts)[:, None]
-        converged = (jnp.abs(sdf) < eps) | (depths > fars)
+        converged = (jnp.abs(sdf) < eps) | (depths > far)
         pts = jnp.where(converged, pts, pts + sdf * rays_d)
         depths = jnp.where(converged, depths, depths + sdf)
-        return pts, depths
+        return i + 1, pts, depths, jnp.all(converged)
 
-    _, depths = jax.lax.fori_loop(
-        0, n_iters, body, (rays_o, jnp.zeros_like(rays_o[:, :1]))
+    _, _, depths, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.asarray(0), rays_o, jnp.zeros_like(rays_o[:, :1]), jnp.asarray(False)),
     )
     return depths
 

@@ -193,3 +193,4 @@ def test_fused_core_train_grads_match_xla(setup):
         a, b = np.asarray(l0), np.asarray(l1)
         scale = max(np.abs(a).max(), 1e-3)
         assert np.abs(a - b).max() / scale < 0.08, (np.abs(a - b).max(), scale)
+

@@ -474,3 +474,21 @@ def test_ray_generator_parity():
     )
     np.testing.assert_allclose(np.asarray(got.nears), ref_rays.nears.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got.fars), ref_rays.fars.numpy(), atol=1e-5)
+
+
+def test_sphere_trace_depth_parity(torch_renderer, jx_params):
+    """Sphere-tracing depth must match the reference's sphere_trace with its
+    hardcoded constants (2000 iters, 1e-4, far=100; neus_hint_model.py:528)."""
+    from nrhints_tpu.render.renderer import _sphere_trace_depth
+
+    renderer, _ = torch_renderer
+    rays_o, rays_d, pls, near, far = _make_rays(B=6, seed=21)
+    with torch.no_grad():
+        _pts_ref, depths_ref = renderer.sphere_trace(
+            torch.tensor(rays_o), torch.tensor(rays_d), 2000, 1e-4, 100
+        )
+    got = _sphere_trace_depth(
+        jx_params, ModelConfig(), jnp.asarray(rays_o), jnp.asarray(rays_d),
+        jnp.asarray(far),
+    )
+    np.testing.assert_allclose(np.asarray(got), depths_ref.numpy(), atol=2e-3)

@@ -185,3 +185,49 @@ def test_extract_sdf_grid_sphere(cfg_params):
     # -sdf: positive inside the init sphere (center), negative far outside.
     assert g[8, 8, 8] > 0
     assert g[0, 0, 0] < 0
+
+
+def test_partial_clip_must_divide_samples():
+    import dataclasses
+
+    import pytest
+
+    from nrhints_tpu.render.renderer import ModelConfig, RendererConfig
+
+    cfg = ModelConfig(renderer=RendererConfig(n_shadow_importance_clip=3))
+    import jax
+    import jax.numpy as jnp
+
+    from nrhints_tpu.core.structs import RayBundle
+    from nrhints_tpu.render.renderer import init_model_params, render_rays
+
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    rays = RayBundle(
+        origins=jnp.zeros((2, 3)),
+        directions=jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (2, 1)),
+        pl_positions=jnp.ones((2, 3)),
+        nears=jnp.zeros((2, 1)),
+        fars=jnp.full((2, 1), 2.0),
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        render_rays(params, cfg, rays)
+
+
+def test_fused_march_rejects_bad_geometry():
+    """The public kernel entry points validate the z-buffer geometry the
+    validity masks assume (shape check runs before any compile)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from nrhints_tpu.fields.sdf import SDFNetConfig, sdf_init
+    from nrhints_tpu.kernels.march import fused_importance_z
+
+    cfg = SDFNetConfig(n_layers=2, d_hidden=32, d_out_feat=16)
+    params = sdf_init(jax.random.PRNGKey(0), cfg)
+    with pytest.raises(ValueError, match="fused march needs z0 with 64"):
+        fused_importance_z(
+            params, cfg,
+            jnp.zeros((4, 3)), jnp.zeros((4, 3)), jnp.zeros((4, 32)),
+            interpret=True,
+        )
