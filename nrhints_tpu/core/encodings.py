@@ -59,6 +59,7 @@ class HashEncodingConfig(NamedTuple):
     num_levels: int = 16
     min_res: int = 16
     max_res: int = 1024
+    init_scale: float = 0.001
     log2_hashmap_size: int = 19
     features_per_level: int = 2
 
@@ -77,8 +78,8 @@ def hash_encoding_init(key: jax.Array, cfg: HashEncodingConfig) -> dict:
         jax.random.uniform(
             key,
             (cfg.num_levels, 2 ** cfg.log2_hashmap_size, cfg.features_per_level),
-            minval=-1e-4,
-            maxval=1e-4,
+            minval=-cfg.init_scale,  # reference hash_init_scale default
+            maxval=cfg.init_scale,   # (fields/encodings.py:258,274-275)
             dtype=jnp.float32,
         )
     )
@@ -130,8 +131,9 @@ def hash_encoding_apply(params: dict, x: jnp.ndarray, cfg: HashEncodingConfig) -
 def spherical_harmonics_encoding(directions: jnp.ndarray, levels: int = 4) -> jnp.ndarray:
     """Real spherical harmonics of unit ``directions`` up to ``levels`` (<=4).
 
-    Mirrors the capability of the reference SHEncoding
-    (``fields/encodings.py:374-460``) with hardcoded real-SH basis.
+    Component-exact with the reference SHEncoding
+    (``fields/encodings.py:374-430``), which uses nerfstudio's all-positive
+    coefficient convention (NOT Condon-Shortley-signed real SH).
     """
     if not 1 <= levels <= 4:
         raise ValueError("levels must be in [1, 4]")
@@ -139,27 +141,27 @@ def spherical_harmonics_encoding(directions: jnp.ndarray, levels: int = 4) -> jn
     comps = [jnp.full_like(x, 0.28209479177387814)]
     if levels > 1:
         comps += [
-            -0.48860251190291987 * y,
-            0.48860251190291987 * z,
-            -0.48860251190291987 * x,
+            0.4886025119029199 * y,
+            0.4886025119029199 * z,
+            0.4886025119029199 * x,
         ]
     if levels > 2:
         xx, yy, zz = x * x, y * y, z * z
         xy, yz, xz = x * y, y * z, x * z
         comps += [
             1.0925484305920792 * xy,
-            -1.0925484305920792 * yz,
-            0.31539156525252005 * (3.0 * zz - 1.0),
-            -1.0925484305920792 * xz,
+            1.0925484305920792 * yz,
+            0.9461746957575601 * zz - 0.31539156525251999,
+            1.0925484305920792 * xz,
             0.5462742152960396 * (xx - yy),
         ]
     if levels > 3:
         comps += [
             0.5900435899266435 * y * (3.0 * xx - yy),
             2.890611442640554 * xy * z,
-            0.4570457994644658 * y * (1.0 - 5.0 * zz),
+            0.4570457994644658 * y * (5.0 * zz - 1.0),
             0.3731763325901154 * z * (5.0 * zz - 3.0),
-            0.4570457994644658 * x * (1.0 - 5.0 * zz),
+            0.4570457994644658 * x * (5.0 * zz - 1.0),
             1.445305721320277 * z * (xx - yy),
             0.5900435899266435 * x * (xx - 3.0 * yy),
         ]
@@ -173,8 +175,12 @@ def rff_encoding_init(key: jax.Array, in_dim: int, num_frequencies: int, scale: 
 
 
 def rff_encoding_apply(params: dict, x: jnp.ndarray, include_input: bool = False) -> jnp.ndarray:
-    scaled = 2.0 * jnp.pi * (x @ params["b_matrix"])  # [..., F]
+    """Layout matches the reference RFFEncoding.forward: [sin, cos] and,
+    with include_input, the 2*pi-scaled input APPENDED after the encoding
+    (``fields/encodings.py:220-232`` — not the raw input, not prepended)."""
+    x2pi = 2.0 * jnp.pi * x
+    scaled = x2pi @ params["b_matrix"]  # [..., F]
     enc = jnp.sin(jnp.concatenate([scaled, scaled + jnp.pi / 2.0], axis=-1))
     if include_input:
-        enc = jnp.concatenate([x, enc], axis=-1)
+        enc = jnp.concatenate([enc, x2pi], axis=-1)
     return enc

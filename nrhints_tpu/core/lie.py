@@ -55,17 +55,20 @@ def exp_map_SE3(tangent: jnp.ndarray) -> jnp.ndarray:
     ang = tangent[..., 3:]
 
     theta2 = jnp.sum(ang * ang, axis=-1, keepdims=True)  # [b,1]
-    theta = jnp.sqrt(theta2)
-    theta3 = theta * theta2
+    near_zero = theta2 < 1e-4  # theta < 1e-2, tested on theta2 pre-sqrt
 
-    near_zero = theta < 1e-2
-    one = jnp.ones_like(theta)
-    theta_nz = jnp.where(near_zero, one, theta)
+    # Double-where: sqrt has an infinite derivative at 0, and NaN from the
+    # untaken branch leaks through jnp.where's gradient (0 * nan = nan) —
+    # with a zero-initialized pose table that poisons training at step 1.
+    # theta_nz is exact for every non-near row; near rows use theta2-only
+    # Taylor forms, so the dummy value never reaches an output.
+    one = jnp.ones_like(theta2)
     theta2_nz = jnp.where(near_zero, one, theta2)
-    theta3_nz = jnp.where(near_zero, one, theta3)
+    theta_nz = jnp.sqrt(theta2_nz)
+    theta3_nz = theta_nz * theta2_nz
 
-    sine = jnp.sin(theta)
-    cosine = jnp.where(near_zero, 8.0 / (4.0 + theta2) - 1.0, jnp.cos(theta))
+    sine = jnp.sin(theta_nz)
+    cosine = jnp.where(near_zero, 8.0 / (4.0 + theta2) - 1.0, jnp.cos(theta_nz))
     sine_by_theta = jnp.where(near_zero, 0.5 * cosine + 0.5, sine / theta_nz)
     one_minus_cos_by_t2 = jnp.where(
         near_zero, 0.5 * sine_by_theta, (1.0 - cosine) / theta2_nz
@@ -85,7 +88,7 @@ def exp_map_SE3(tangent: jnp.ndarray) -> jnp.ndarray:
         near_zero, 0.5 - theta2 / 24.0, one_minus_cos_by_t2
     )
     theta_minus_sine_by_t3 = jnp.where(
-        near_zero, 1.0 / 6.0 - theta2 / 120.0, (theta - sine) / theta3_nz
+        near_zero, 1.0 / 6.0 - theta2 / 120.0, (theta_nz - sine) / theta3_nz
     )
     trans = (
         sine_by_theta_t * lin

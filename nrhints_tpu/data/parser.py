@@ -99,7 +99,10 @@ def parse_load_nr_data(
     for s in splits:
         for frame in metas[s]["frames"]:
             ext = frame.get("file_ext", ".png")
-            img = _load_image(basedir / (frame["file_path"] + ext), ext)
+            if idx == 0:
+                img = first_image  # already decoded for the H/W probe
+            else:
+                img = _load_image(basedir / (frame["file_path"] + ext), ext)
             if half_res:
                 import cv2
 

@@ -81,3 +81,24 @@ def weight_norm_effective_weight(params: dict) -> tuple[jnp.ndarray, jnp.ndarray
     v = params["v"]
     norm = jnp.linalg.norm(v, axis=0, keepdims=True)
     return v * (params["g"][None, :] / norm), params["b"]
+
+
+def maybe_weight_norm_params(w: jnp.ndarray, b: jnp.ndarray, weight_norm: bool) -> dict:
+    """Layer params honoring a config's weight_norm flag (the reference
+    wraps in nn.utils.weight_norm only when configured)."""
+    return weight_norm_params(w, b) if weight_norm else linear_params(w, b)
+
+
+def apply_linear_any(params: dict, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """Apply a layer in either parameterization (dispatch on the pytree
+    structure, which is static under jit)."""
+    if "v" in params:
+        return weight_norm_apply(params, x, compute_dtype=compute_dtype)
+    return linear_apply(params, x, compute_dtype)
+
+
+def effective_weight(params: dict) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(w, b) of a layer in either parameterization."""
+    if "v" in params:
+        return weight_norm_effective_weight(params)
+    return params["w"], params["b"]

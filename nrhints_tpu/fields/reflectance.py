@@ -15,7 +15,11 @@ import jax
 import jax.numpy as jnp
 
 from nrhints_tpu.core.encodings import nerf_encoding, nerf_encoding_dim
-from nrhints_tpu.fields.mlp import torch_default_linear_init, weight_norm_apply, weight_norm_params
+from nrhints_tpu.fields.mlp import (
+    apply_linear_any,
+    maybe_weight_norm_params,
+    torch_default_linear_init,
+)
 
 
 @dataclass(frozen=True)
@@ -61,7 +65,7 @@ def reflectance_init(
     keys = jax.random.split(key, len(dims) - 1)
     for i in range(len(dims) - 1):
         w, b = torch_default_linear_init(keys[i], dims[i], dims[i + 1])
-        params[f"lin{i}"] = weight_norm_params(w, b)
+        params[f"lin{i}"] = maybe_weight_norm_params(w, b, cfg.weight_norm)
     return params
 
 
@@ -94,7 +98,7 @@ def reflectance_forward(
         # halves the HBM traffic of the saved residuals; see fields/sdf.py.
         h = h.astype(cdt)
     for i in range(n_lin):
-        h = weight_norm_apply(params[f"lin{i}"], h, compute_dtype=cdt)
+        h = apply_linear_any(params[f"lin{i}"], h, compute_dtype=cdt)
         if i < n_lin - 1:
             h = jax.nn.relu(h)
             if cdt is not None:

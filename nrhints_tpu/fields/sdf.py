@@ -29,7 +29,11 @@ from nrhints_tpu.core.encodings import (
     nerf_encoding,
     nerf_encoding_dim,
 )
-from nrhints_tpu.fields.mlp import weight_norm_apply, weight_norm_params
+from nrhints_tpu.fields.mlp import (
+    apply_linear_any,
+    maybe_weight_norm_params,
+    torch_default_linear_init,
+)
 
 
 @dataclass(frozen=True)
@@ -103,10 +107,10 @@ def sdf_init(key: jax.Array, cfg: SDFNetConfig = SDFNetConfig()) -> dict:
         params["hash"] = hash_encoding_init(keys[-3], cfg.hash_config)
 
     for i, (in_dim, out_dim) in enumerate(io):
-        std = math.sqrt(2.0) / math.sqrt(out_dim)
-        w = jax.random.normal(keys[i], (in_dim, out_dim)) * std
-        b = jnp.zeros((out_dim,))
         if cfg.geometric_init:
+            std = math.sqrt(2.0) / math.sqrt(out_dim)
+            w = jax.random.normal(keys[i], (in_dim, out_dim)) * std
+            b = jnp.zeros((out_dim,))
             if cfg.multi_res > 0 and i == 0:
                 # Only raw xyz rows active at the input layer.
                 w = w.at[cfg.d_in :, :].set(0.0)
@@ -114,14 +118,21 @@ def sdf_init(key: jax.Array, cfg: SDFNetConfig = SDFNetConfig()) -> dict:
                 # Zero the encoding part of the concatenated skip input
                 # (last d0 - d_in rows).
                 w = w.at[-(d0 - cfg.d_in) :, :].set(0.0)
-        params[f"lin{i}"] = weight_norm_params(w, b)
+        else:
+            # The reference applies SAL init only under geometric_init;
+            # otherwise layers keep torch.nn.Linear defaults.
+            w, b = torch_default_linear_init(keys[i], in_dim, out_dim)
+        params[f"lin{i}"] = maybe_weight_norm_params(w, b, cfg.weight_norm)
 
     for name, out_dim, k in (("sdf", 1, keys[-2]), ("feat", dims[-1] - 1, keys[-1])):
-        mean = math.sqrt(math.pi) / math.sqrt(dims[-1])
-        sign = -1.0 if cfg.inside_outside else 1.0
-        w = sign * mean + 1e-4 * jax.random.normal(k, (dims[-2], out_dim))
-        b = jnp.full((out_dim,), -sign * bias) if name == "sdf" else jnp.full((out_dim,), -sign * bias)
-        params[f"out_{name}"] = weight_norm_params(w, b)
+        if cfg.geometric_init:
+            mean = math.sqrt(math.pi) / math.sqrt(dims[-1])
+            sign = -1.0 if cfg.inside_outside else 1.0
+            w = sign * mean + 1e-4 * jax.random.normal(k, (dims[-2], out_dim))
+            b = jnp.full((out_dim,), -sign * bias)
+        else:
+            w, b = torch_default_linear_init(k, dims[-2], out_dim)
+        params[f"out_{name}"] = maybe_weight_norm_params(w, b, cfg.weight_norm)
     return params
 
 
@@ -150,12 +161,12 @@ def sdf_forward(params: dict, cfg: SDFNetConfig, x: jnp.ndarray) -> jnp.ndarray:
     for i in range(cfg.n_layers):
         if i in cfg.skip_in:
             h = jnp.concatenate([h, inputs if cdt is None else inputs_c], axis=-1) * inv_sqrt2
-        h = weight_norm_apply(params[f"lin{i}"], h, compute_dtype=cdt)
+        h = apply_linear_any(params[f"lin{i}"], h, compute_dtype=cdt)
         h = jax.nn.softplus(100.0 * h) / 100.0
         if cdt is not None:
             h = h.astype(cdt)
-    sdf = weight_norm_apply(params["out_sdf"], h, compute_dtype=cdt) / cfg.scale
-    feat = weight_norm_apply(params["out_feat"], h, compute_dtype=cdt)
+    sdf = apply_linear_any(params["out_sdf"], h, compute_dtype=cdt) / cfg.scale
+    feat = apply_linear_any(params["out_feat"], h, compute_dtype=cdt)
     return jnp.concatenate([sdf, feat], axis=-1)
 
 

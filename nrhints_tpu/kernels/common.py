@@ -12,7 +12,7 @@ import math
 
 import jax.numpy as jnp
 
-from nrhints_tpu.fields.mlp import weight_norm_effective_weight
+from nrhints_tpu.fields.mlp import effective_weight
 from nrhints_tpu.fields.sdf import SDFNetConfig
 
 INV_SQRT2 = 1.0 / math.sqrt(2.0)
@@ -24,9 +24,9 @@ def materialize_sdf_weights(params: dict, cfg: SDFNetConfig) -> tuple:
     kernel so the normalization never runs per-point."""
     out = []
     for i in range(cfg.n_layers):
-        w, b = weight_norm_effective_weight(params[f"lin{i}"])
+        w, b = effective_weight(params[f"lin{i}"])
         out += [w, b]
-    w, b = weight_norm_effective_weight(params["out_sdf"])
+    w, b = effective_weight(params["out_sdf"])
     out += [w, b]
     return tuple(out)
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nrhints_tpu.fields.mlp import weight_norm_effective_weight
+from nrhints_tpu.fields.mlp import effective_weight
 from nrhints_tpu.fields.sdf import SDFNetConfig, _layer_dims
 from nrhints_tpu.kernels.common import INV_SQRT2, softplus100_gate
 
@@ -323,10 +323,10 @@ def materialize_sdf_weights_full(params: dict, cfg: SDFNetConfig) -> tuple:
     (w0, b0, ..., w_sdf, b_sdf, w_feat, b_feat); biases as [1, n] rows."""
     out = []
     for i in range(cfg.n_layers):
-        w, b = weight_norm_effective_weight(params[f"lin{i}"])
+        w, b = effective_weight(params[f"lin{i}"])
         out += [w, _as_rows(b)]
     for head in ("out_sdf", "out_feat"):
-        w, b = weight_norm_effective_weight(params[head])
+        w, b = effective_weight(params[head])
         out += [w, _as_rows(b)]
     return tuple(out)
 
@@ -452,7 +452,7 @@ def materialize_mlp_weights(params: dict, n_layers: int) -> tuple:
     """Reflectance weight-norm params -> flat dense tuple (biases as rows)."""
     out = []
     for i in range(n_layers + 1):
-        w, b = weight_norm_effective_weight(params[f"lin{i}"])
+        w, b = effective_weight(params[f"lin{i}"])
         out += [w, _as_rows(b)]
     return tuple(out)
 

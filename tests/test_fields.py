@@ -175,3 +175,32 @@ def test_sdf_hash_encoding_variant():
     grads = jax.grad(loss)(params)
     assert np.isfinite(np.asarray(grads["hash"]["table"])).all()
     assert np.abs(np.asarray(grads["lin0"]["v"])).max() > 0
+
+
+def test_sdf_weight_norm_off():
+    """weight_norm=False must build a PLAIN parameterization (w/b leaves,
+    no v/g) and still run forward + kernels' weight materialization —
+    the reference wraps in nn.utils.weight_norm only when configured."""
+    from nrhints_tpu.fields.mlp import effective_weight
+
+    cfg = SDFNetConfig(n_layers=2, d_hidden=32, d_out_feat=16, weight_norm=False)
+    params = sdf_init(jax.random.PRNGKey(0), cfg)
+    assert set(params["lin0"]) == {"w", "b"}
+    out = sdf_forward(params, cfg, jnp.zeros((4, 3)))
+    assert np.isfinite(np.asarray(out)).all()
+    w, b = effective_weight(params["lin0"])
+    np.testing.assert_array_equal(np.asarray(w), np.asarray(params["lin0"]["w"]))
+
+
+def test_sdf_plain_init_matches_torch_defaults():
+    """geometric_init=False uses torch.nn.Linear default init stats (the
+    reference applies the SAL sphere init only under geometric_init)."""
+    cfg = SDFNetConfig(geometric_init=False)
+    params = sdf_init(jax.random.PRNGKey(1), cfg)
+    v = np.asarray(params["lin0"]["v"])
+    in_dim = v.shape[0]
+    bound = 1.0 / np.sqrt(in_dim)
+    assert np.abs(v).max() <= bound + 1e-6
+    # Heads too: no sqrt(pi) constant, no -init_bias bias.
+    head_b = np.asarray(params["out_sdf"]["b"])
+    assert np.abs(head_b).max() <= 1.0 / np.sqrt(256) + 1e-6

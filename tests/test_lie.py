@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.spatial.transform import Rotation
@@ -53,3 +54,14 @@ def test_so3xr3_zero_tangent_is_identity():
     out = np.asarray(exp_map_SO3xR3(jnp.zeros((2, 6))))
     np.testing.assert_allclose(out[:, :3, :3], np.eye(3)[None].repeat(2, 0), atol=1e-6)
     np.testing.assert_allclose(out[:, :3, 3], 0.0, atol=1e-6)
+
+
+def test_exp_map_gradients_finite_at_zero():
+    """Zero tangent (the pose table's init) must have FINITE gradients:
+    sqrt's infinite derivative at 0 leaks NaN through jnp.where unless the
+    double-where guard recomputes theta from a clamped theta2 — with NaN
+    here, SE3 pose optimization is poisoned from the first step."""
+    z = jnp.zeros((3, 6))
+    for fn in (exp_map_SE3, exp_map_SO3xR3):
+        g = jax.grad(lambda t: jnp.sum(fn(t)))(z)
+        assert np.isfinite(np.asarray(g)).all(), fn.__name__

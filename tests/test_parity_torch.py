@@ -492,3 +492,32 @@ def test_sphere_trace_depth_parity(torch_renderer, jx_params):
         jnp.asarray(far),
     )
     np.testing.assert_allclose(np.asarray(got), depths_ref.numpy(), atol=2e-3)
+
+
+def test_sh_encoding_parity():
+    """Spherical harmonics must match the reference's all-positive
+    (nerfstudio) coefficient convention component-by-component."""
+    from nrhints_tpu.core.encodings import spherical_harmonics_encoding
+
+    rng = np.random.default_rng(2)
+    d = rng.standard_normal((64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ref = REF.encodings.components_from_spherical_harmonics(4, torch.tensor(d)).numpy()
+    got = np.asarray(spherical_harmonics_encoding(jnp.asarray(d), levels=4))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_rff_encoding_parity():
+    """RFF: same b-matrix in -> identical [sin, cos, 2*pi*x] layout."""
+    from nrhints_tpu.core.encodings import rff_encoding_apply
+
+    torch.manual_seed(7)
+    enc_t = REF.encodings.RFFEncoding(in_dim=3, num_frequencies=16, scale=5.0, include_input=True)
+    b = enc_t.b_matrix.detach().numpy()
+    x = np.random.default_rng(3).standard_normal((32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = enc_t(torch.tensor(x)).numpy()
+    got = np.asarray(
+        rff_encoding_apply({"b_matrix": jnp.asarray(b)}, jnp.asarray(x), include_input=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4)
