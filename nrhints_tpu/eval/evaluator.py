@@ -47,7 +47,6 @@ class Evaluator:
         different views; eval sharding must be process-local."""
         self.cfg = cfg
         self.camera = camera
-        self.buffers = buffers
         self.mesh = None
         if mesh is not None:
             local = [
@@ -57,9 +56,25 @@ class Evaluator:
                 from jax.sharding import Mesh
 
                 self.mesh = Mesh(np.asarray(local), ("data",))
+        # The jits close over the buffers; the trainer hands them committed
+        # to the GLOBAL training mesh, which cannot mix with per-host eval
+        # inputs under multihost — hop them onto this evaluator's placement.
+        if self.mesh is not None:
+            from nrhints_tpu.parallel import mesh as mesh_lib
+
+            try:
+                buffers = mesh_lib.replicate(self.mesh, buffers)
+            except Exception:  # cross-mesh (multihost): hop via host
+                buffers = mesh_lib.replicate(self.mesh, jax.device_get(buffers))
+        elif jax.process_count() > 1:
+            buffers = jax.device_get(buffers)
+        self.buffers = buffers
         self._render_image_jit = jax.jit(self._render_image_impl)
         self._register_jit = None  # built lazily
-        self._params_cache: tuple = (None, None)  # (id(params), on-mesh params)
+        # Per-top-key replication cache: register_view rebuilds the params
+        # dict per view but leaves 'renderer' identical, so caching
+        # whole-dict identity would re-upload the full model per view.
+        self._params_cache: dict = {}
 
     # ------------------------------------------------------------------
     # Whole-image rendering
@@ -140,23 +155,30 @@ class Evaluator:
         return batched, n_chunks * chunk
 
     def _prepare_params(self, params):
-        """Replicate params over the eval mesh ONCE per distinct pytree
+        """Replicate params over the eval mesh ONCE per distinct subtree
         (render_test_views/render_video loop many views with the same
-        params; re-uploading the full model per view would be a needless
-        round trip over the device link)."""
+        renderer params; re-uploading the full model per view would be a
+        needless round trip over the device link).  Cached per top-level
+        key because register_view rebuilds the dict but not 'renderer'."""
         if self.mesh is None:
             return params
-        if self._params_cache[0] is params:
-            return self._params_cache[1]
         from nrhints_tpu.parallel import mesh as mesh_lib
 
-        try:
-            on_mesh = mesh_lib.replicate(self.mesh, params)
-        except Exception:  # cross-mesh transfer (multihost): hop via host
-            on_mesh = mesh_lib.replicate(self.mesh, jax.device_get(params))
-        # Keep a reference to the source pytree so identity can't be reused.
-        self._params_cache = (params, on_mesh)
-        return on_mesh
+        out = {}
+        for k, sub in params.items():
+            cached = self._params_cache.get(k)
+            # Holding the source subtree keeps its identity from being
+            # reused by a new object after garbage collection.
+            if cached is not None and cached[0] is sub:
+                out[k] = cached[1]
+                continue
+            try:
+                on_mesh = mesh_lib.replicate(self.mesh, sub)
+            except Exception:  # cross-mesh transfer (multihost): hop via host
+                on_mesh = mesh_lib.replicate(self.mesh, jax.device_get(sub))
+            self._params_cache[k] = (sub, on_mesh)
+            out[k] = on_mesh
+        return out
 
     def render_image(self, params, pixels: PixelBundle) -> Dict[str, np.ndarray]:
         """Render a [H, W] pixel bundle -> host dict of [H, W, C] images."""
@@ -178,9 +200,13 @@ class Evaluator:
 
     def get_eval_dicts(
         self, params, pixels: PixelBundle
-    ) -> Tuple[Dict[str, np.ndarray], Dict[str, float], Dict[str, np.ndarray]]:
-        """(img_dict, metrics_dict, tensor_dict) for one view — the
-        reference get_eval_dicts surface."""
+    ) -> Tuple[Dict[str, np.ndarray], Dict[str, float], Dict[str, np.ndarray], dict]:
+        """(img_dict, metrics_dict, tensor_dict, params) for one view — the
+        reference get_eval_dicts surface.  The returned params carry the
+        test-time registered pose/light table: the reference mutates its
+        live ray generator in place (base_pipeline.py:73-91), so adjustments
+        persist across views and eval rounds — callers should thread the
+        returned params forward to match."""
         if (
             self.cfg.ray_generator.cam_opt_mode != "off" or self.cfg.ray_generator.pl_opt
         ) and pixels.rgb_gt is not None:
@@ -208,7 +234,7 @@ class Evaluator:
         tensor_dict = {"depth": res["depth"]}
         if "specular_hint" in res:
             tensor_dict["specular_hint"] = res["specular_hint"]
-        return img_dict, metrics, tensor_dict
+        return img_dict, metrics, tensor_dict, params
 
     # ------------------------------------------------------------------
     # Test-time pose registration
@@ -225,9 +251,12 @@ class Evaluator:
         if not params["raygen"]:
             return params
         cfg = self.cfg
-        tx = optax.adam(cfg.ray_generator.opt_lr)
 
         if self._register_jit is None:
+            # Built once; the jitted closure below captures this instance —
+            # constructing tx per call would create dead objects the stale
+            # closure silently ignores.
+            tx = optax.adam(cfg.ray_generator.opt_lr)
 
             def sample_and_loss(rp, renderer_params, image_bundle, sub):
                 H, W = image_bundle.h_indices.shape[:2]

@@ -27,12 +27,16 @@ def _build_library() -> pathlib.Path:
     out.parent.mkdir(exist_ok=True)
     if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
         return out
-    subprocess.run(
+    proc = subprocess.run(
         ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
          str(src), "-o", str(out)],
-        check=True,
         capture_output=True,
+        text=True,
     )
+    if proc.returncode != 0:
+        # Surface the compiler diagnostics — check=True would raise with
+        # only the command line, hiding the actual error.
+        raise RuntimeError(f"marching-cubes build failed:\n{proc.stderr}")
     return out
 
 

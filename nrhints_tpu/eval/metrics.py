@@ -110,8 +110,13 @@ def _alexnet_features(w: dict, x: jnp.ndarray) -> list[jnp.ndarray]:
             x = -jax.lax.reduce_window(
                 -x, jnp.inf, jax.lax.min, (1, 1, 3, 3), (1, 1, 2, 2), "VALID"
             )
+        # HIGHEST precision: the LPIPS distance is built from differences of
+        # unit-normalized features of nearly identical images — the same
+        # catastrophic-cancellation pattern that pushed SSIM above 1 under
+        # the TPU default's bf16 operand rounding (see _ssim_map).
         x = jax.lax.conv_general_dilated(
-            x, w[f"conv{i}_w"], (stride, stride), [(pad, pad), (pad, pad)]
+            x, w[f"conv{i}_w"], (stride, stride), [(pad, pad), (pad, pad)],
+            precision=jax.lax.Precision.HIGHEST,
         ) + w[f"conv{i}_b"][None, :, None, None]
         x = jax.nn.relu(x)
         feats.append(x)

@@ -316,15 +316,35 @@ class Trainer:
         )
 
         metrics_list = []
+        registered = False
         for idx in range(start, total, skip * self.process_count):
             pixels = self.data_manager.get_test_view(idx)
-            img_dict, metrics, tensor_dict = self.evaluator.get_eval_dicts(params, pixels)
+            img_dict, metrics, tensor_dict, params = self.evaluator.get_eval_dicts(
+                params, pixels
+            )
+            registered = True
             self._save_dumps(idx, img_dict, tensor_dict)
             if idx == 0 and self.is_main_process:
                 for k, v in img_dict.items():
                     img = v * 0.5 + 0.5 if "normal" in k else v
                     self.logger.log_image(k, img, self.global_step)
             metrics_list.append(metrics)
+
+        # The reference's register_view mutates the live ray generator, so
+        # test-time registered pose/light rows persist into the training
+        # state (test-image rows are never sampled by training).  Mirror
+        # that on a single host; multihost hosts register different views
+        # and a divergent "replicated" table would be undefined, so there
+        # registration stays per-eval-round.
+        rg = self.config.ray_generator
+        if (
+            registered
+            and self.process_count == 1
+            and (rg.cam_opt_mode != "off" or rg.pl_opt)
+        ):
+            new_params = dict(self.state.params)
+            new_params["raygen"] = mesh_lib.replicate(self.mesh, params["raygen"])
+            self.state = self.state.replace(params=new_params)
 
         if self.process_count > 1:
             from jax.experimental import multihost_utils

@@ -247,3 +247,29 @@ def test_eval_sharded_render_matches_unsharded(scene, run_dir):
     assert set(r1) == set(r8)
     for k in r1:
         np.testing.assert_allclose(r1[k], r8[k], atol=2e-5, err_msg=k)
+
+
+def test_registration_persists_to_state(scene, run_dir):
+    """With pose/light optimization on, test-time registration must persist
+    into the training state across eval rounds (the reference mutates its
+    live ray generator in place, base_pipeline.py:73-91)."""
+    import jax
+
+    from nrhints_tpu.camera.rays import RayGeneratorConfig
+
+    cfg = e2e_config(run_dir, end_iter=2)
+    cfg = dataclasses.replace(
+        cfg,
+        ray_generator=RayGeneratorConfig(cam_opt_mode="SO3xR3", pl_opt=True),
+        exp_name="e2e_register_persist",
+    )
+    trainer = Trainer(cfg, scene=scene)
+    before = np.asarray(
+        jax.device_get(trainer.state.params["raygen"]["cam_pose_adjustment"])
+    ).copy()
+    trainer.render_test_views(is_final=False)
+    after = np.asarray(
+        jax.device_get(trainer.state.params["raygen"]["cam_pose_adjustment"])
+    )
+    assert not np.array_equal(before, after)
+    assert np.isfinite(after).all()
