@@ -32,9 +32,22 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--anneal", type=int, default=5_000)
     ap.add_argument("--steps-per-dispatch", type=int, default=1)
+    ap.add_argument(
+        "--preset",
+        type=str,
+        default="nr-hints",
+        help="config preset (nr-hints | pl-naive | nr-hints-cam-opt) — "
+        "pl-naive is the no-hints ablation",
+    )
+    ap.add_argument(
+        "--sdf-encoding",
+        type=str,
+        default="frequency",
+        help='SDF position encoding ("frequency" | "hash")',
+    )
     args = ap.parse_args()
 
-    from nrhints_tpu.configs.config import nr_hints
+    from nrhints_tpu.configs.config import PRESETS
     from nrhints_tpu.data.synthetic import make_hints_scene
     from nrhints_tpu.train.trainer import launch
     from nrhints_tpu.utils import enable_compilation_cache
@@ -48,7 +61,7 @@ def main() -> None:
             scene_dir, n_train=args.views, n_val=5, n_test=10, H=args.size, W=args.size
         )
 
-    cfg = nr_hints()
+    cfg = PRESETS[args.preset]()
     cfg = dataclasses.replace(
         cfg,
         base_dir=args.out,
@@ -60,6 +73,9 @@ def main() -> None:
             end_iter=args.steps,
             warm_up_end=args.warmup,
             anneal_end=args.anneal,
+            sdf_network=dataclasses.replace(
+                cfg.model.sdf_network, encoding=args.sdf_encoding
+            ),
         ),
         intervals=dataclasses.replace(
             cfg.intervals,

@@ -6,6 +6,16 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# These are CPU-only interpret-mode comparisons at f32 tolerances; under
+# NRHINTS_TPU_TESTS=1 the default backend is the real TPU, whose DEFAULT
+# precision rounds f32 dot operands to bf16 — the twins then differ at
+# ~1e-3 by design, not by bug.  The on-hardware kernel checks live in
+# tests/test_kernels.py.
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "cpu",
+    reason="interpret-mode f32 twin tests are CPU-only",
+)
+
 from nrhints_tpu.fields.reflectance import (
     ReflectanceNetConfig,
     reflectance_forward,
