@@ -47,10 +47,17 @@ def _load_image(path: pathlib.Path, ext: str) -> np.ndarray:
 
     if ext == ".npy":
         return np.load(path)
-    img = iio.imread(path)
     if ext == ".exr":
-        return img
-    return img / 255.0
+        try:
+            return iio.imread(path)  # float HDR, no scaling
+        except Exception as e:
+            raise RuntimeError(
+                f"cannot decode {path}: no EXR backend is installed "
+                "(imageio needs the freeimage/openexr plugin). Convert the "
+                "frames to .npy float arrays and set file_ext='.npy' in "
+                "transforms_*.json — the parser treats both as linear HDR."
+            ) from e
+    return iio.imread(path) / 255.0
 
 
 def parse_load_nr_data(
