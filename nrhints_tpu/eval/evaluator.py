@@ -34,6 +34,18 @@ from nrhints_tpu.render.renderer import render_rays
 from nrhints_tpu.train.step import forward_pipeline
 
 
+def register_view_key(pixels: PixelBundle) -> jax.Array:
+    """Per-view RNG key for test-time registration: fold the view's image
+    index into the base key so each view optimizes on its own pixel-draw
+    sequence.  (The reference draws fresh batches per step from its global
+    torch RNG, ``pipelines/base_pipeline.py:79-83``; a fixed PRNGKey(0) was
+    deterministic but needlessly identical across views.)  Video bundles
+    carry no img_indices; they also carry no rgb_gt, so registration never
+    sees them."""
+    idx = jnp.asarray(pixels.img_indices).reshape(-1)[0]
+    return jax.random.fold_in(jax.random.PRNGKey(0), idx)
+
+
 class Evaluator:
     def __init__(
         self, cfg: SystemConfig, camera: CameraModel, buffers: dict, mesh=None
@@ -159,7 +171,15 @@ class Evaluator:
         (render_test_views/render_video loop many views with the same
         renderer params; re-uploading the full model per view would be a
         needless round trip over the device link).  Cached per top-level
-        key because register_view rebuilds the dict but not 'renderer'."""
+        key because register_view rebuilds the dict but not 'renderer'.
+
+        The cache is keyed on subtree *identity*, which assumes callers
+        never mutate a host-numpy params subtree in place (all in-repo
+        callers replace whole subtrees functionally — jax arrays are
+        immutable anyway).  An in-place edit of a cached host array would
+        silently serve the stale device copy; it also pins the previous
+        subtree alive, which for these KB-scale param trees is cheaper
+        than fingerprinting their contents per view."""
         if self.mesh is None:
             return params
         from nrhints_tpu.parallel import mesh as mesh_lib
@@ -304,7 +324,7 @@ class Evaluator:
             params["raygen"],
             params["renderer"],
             jax.device_put(pixels),
-            jax.random.PRNGKey(0),
+            register_view_key(pixels),
             steps,
         )
         return {"renderer": params["renderer"], "raygen": raygen}

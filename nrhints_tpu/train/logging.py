@@ -21,10 +21,13 @@ class MetricsLogger:
         self.run_dir = pathlib.Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.run_dir / "metrics.jsonl", "a", buffering=1)
-        self._csv_path = self.run_dir / "metrics.csv"
-        self._csv_file = None
-        self._csv_writer = None
-        self._csv_fields = None
+        # One CSV per schema (train metrics -> metrics.csv, eval means ->
+        # val_metrics.csv, further distinct schemas numbered): train and
+        # val/* rows interleave, and stacking both under one rewritten
+        # header made metrics.csv a multi-table file that csv/pandas
+        # readers parse with header rows as data.
+        self._csv_writers: dict = {}  # schema tuple -> (file, DictWriter)
+        self._csv_names: set = set()
         self._wandb = None
         if use_wandb:
             try:
@@ -40,18 +43,26 @@ class MetricsLogger:
         record.update({k: float(v) for k, v in metrics.items()})
         self._jsonl.write(json.dumps(record) + "\n")
 
-        fields = list(record.keys())
-        if self._csv_writer is None or fields != self._csv_fields:
-            if self._csv_file:
-                self._csv_file.close()
-            self._csv_file = open(self._csv_path, "a", newline="", buffering=1)
-            self._csv_writer = csv.DictWriter(self._csv_file, fieldnames=fields, extrasaction="ignore")
-            self._csv_fields = fields
-            # Header on EVERY field change (train metrics and val/* metrics
-            # interleave): appending rows under a stale header would silently
-            # misalign columns for the rest of the run.
-            self._csv_writer.writeheader()
-        self._csv_writer.writerow(record)
+        fields = tuple(record.keys())
+        entry = self._csv_writers.get(fields)
+        if entry is None:
+            base = (
+                "val_metrics"
+                if any(k.startswith("val/") for k in fields)
+                else "metrics"
+            )
+            name, i = base, 2
+            while name in self._csv_names:
+                name, i = f"{base}_{i}", i + 1
+            self._csv_names.add(name)
+            path = self.run_dir / f"{name}.csv"
+            f = open(path, "a", newline="", buffering=1)
+            writer = csv.DictWriter(f, fieldnames=fields, extrasaction="ignore")
+            if f.tell() == 0:  # skip the header when resuming into a file
+                writer.writeheader()
+            entry = (f, writer)
+            self._csv_writers[fields] = entry
+        entry[1].writerow(record)
 
         if self._wandb is not None:
             self._wandb.log(dict(metrics), step=step)
@@ -75,7 +86,8 @@ class MetricsLogger:
 
     def close(self) -> None:
         self._jsonl.close()
-        if self._csv_file:
-            self._csv_file.close()
+        for f, _ in self._csv_writers.values():
+            f.close()
+        self._csv_writers.clear()
         if self._wandb is not None:
             self._wandb.finish()

@@ -148,7 +148,6 @@ def test_parser_npy_file_ext(tmp_path):
         tf.write_text(json.dumps(meta))
 
     sc = parse_load_nr_data(d)
-    sc_png = parse_load_nr_data(d.parent / "npy_scene")  # same dir, npy ext wins
     assert sc.images.dtype == np.float32
     assert np.isfinite(sc.images).all()
     # npy round-trip matches the png pipeline to quantization error.

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from nrhints_tpu.eval.metrics import lpips, lpips_available, psnr, ssim
 
@@ -65,6 +66,80 @@ def test_lpips_gated_without_weights(monkeypatch):
     assert not lpips_available()
     a = np.zeros((16, 16, 3), np.float32)
     assert np.isnan(lpips(a, a))
+
+
+def test_lpips_matches_torch_random_weights(tmp_path, monkeypatch):
+    """The jnp LPIPS forward vs an independent torch build of the
+    lpips-package pipeline (torchvision AlexNet trunk sliced exactly as
+    ``lpips.LPIPS(net='alex')`` slices it, unit-normalize, squared diff,
+    1x1 calibration conv, spatial average, layer sum — lpips/lpips.py).
+
+    Pretrained weights can't exist in this zero-egress image, but the
+    *architecture and converter layout* are fully checkable with random
+    weights: a stride/pad/pool-placement bug in ``_alexnet_features`` or a
+    slice-index bug in ``scripts/export_lpips_weights.py`` fails allclose
+    here."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+    # torchvision.models.alexnet().features, verbatim layout.
+    features = nn.Sequential(
+        nn.Conv2d(3, 64, 11, stride=4, padding=2), nn.ReLU(),
+        nn.MaxPool2d(3, stride=2),
+        nn.Conv2d(64, 192, 5, padding=2), nn.ReLU(),
+        nn.MaxPool2d(3, stride=2),
+        nn.Conv2d(192, 384, 3, padding=1), nn.ReLU(),
+        nn.Conv2d(384, 256, 3, padding=1), nn.ReLU(),
+        nn.Conv2d(256, 256, 3, padding=1), nn.ReLU(),
+    ).eval()
+    # lpips wraps the trunk as slices [0:2],[2:5],[5:8],[8:10],[10:12].
+    slices = [features[0:2], features[2:5], features[5:8],
+              features[8:10], features[10:12]]
+    lins = [torch.rand(1, c, 1, 1) for c in (64, 192, 384, 256, 256)]
+
+    # Export through the converter's documented extraction (the slice
+    # indices scripts/export_lpips_weights.py uses on the lpips model).
+    convs = [slices[0][0], slices[1][1], slices[2][1], slices[3][0], slices[4][0]]
+    out = {}
+    for i, conv in enumerate(convs):
+        out[f"conv{i}_w"] = conv.weight.detach().numpy()
+        out[f"conv{i}_b"] = conv.bias.detach().numpy()
+        out[f"lin{i}_w"] = lins[i].numpy()
+    path = tmp_path / "lpips_rand.npz"
+    np.savez(path, **out)
+    monkeypatch.setenv("NRHINTS_LPIPS_WEIGHTS", str(path))
+    from nrhints_tpu.eval import metrics
+
+    metrics._load_lpips_weights.cache_clear()
+    assert lpips_available()
+
+    # Torch LPIPS forward with normalize=True semantics.
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def torch_lpips(x: np.ndarray, y: np.ndarray) -> float:
+        def prep(img):
+            t = torch.from_numpy(np.moveaxis(img, -1, 0)).unsqueeze(0) * 2 - 1
+            return (t - shift) / scale
+
+        fx, fy = prep(x), prep(y)
+        total = torch.zeros(())
+        with torch.no_grad():
+            for sl, lin in zip(slices, lins):
+                fx, fy = sl(fx), sl(fy)
+                nx = fx / torch.sqrt((fx ** 2).sum(1, keepdim=True) + 1e-10)
+                ny = fy / torch.sqrt((fy ** 2).sum(1, keepdim=True) + 1e-10)
+                d = ((nx - ny) ** 2 * lin).sum(1, keepdim=True)
+                total = total + d.mean()
+        return float(total)
+
+    rng = np.random.default_rng(3)
+    a = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+    np.testing.assert_allclose(lpips(a, b), torch_lpips(a, b), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(lpips(a, a), torch_lpips(a, a), atol=1e-7)
+    metrics._load_lpips_weights.cache_clear()
 
 
 def test_lpips_with_synthetic_weights(tmp_path, monkeypatch):

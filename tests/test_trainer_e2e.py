@@ -213,6 +213,22 @@ def test_register_view_one_dispatch(scene, run_dir):
     assert np.isfinite(pose_after).all()
 
 
+def test_register_view_key_decorrelated_across_views(scene):
+    """Each evaluated view must draw its own registration pixel sequence
+    (round-1 review: a fixed PRNGKey(0) correlated every view's draws)."""
+    import numpy as np
+
+    from nrhints_tpu.data.manager import DataManager
+    from nrhints_tpu.eval.evaluator import register_view_key
+
+    dm = DataManager(scene, batch_size=8)
+    k0 = np.asarray(register_view_key(dm.get_test_view(0)))
+    k1 = np.asarray(register_view_key(dm.get_test_view(1)))
+    k0_again = np.asarray(register_view_key(dm.get_test_view(0)))
+    assert not np.array_equal(k0, k1)
+    np.testing.assert_array_equal(k0, k0_again)  # still deterministic
+
+
 def test_trainer_wandb_flag_degrades_gracefully(scene, run_dir):
     """use_wandb=True without the wandb package must not break training."""
     cfg = e2e_config(run_dir, end_iter=2)
