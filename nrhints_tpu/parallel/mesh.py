@@ -17,13 +17,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def initialize_multihost() -> None:
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
     """Bring up the JAX distributed runtime (one process per host).
 
     Replaces the MASTER_ADDR/RANK env plumbing + NCCL rendezvous of the
-    reference; the TPU coordinator discovers peers itself.
+    reference; on TPU pods the coordinator discovers peers itself (all
+    arguments None).  Explicit arguments support CPU multi-process testing
+    (tests/test_multihost.py) and manual clusters — the analog of the
+    reference's ``MASTER_ADDR``/``RANK`` env vars (trainer/ddp_helper.py).
     """
-    jax.distributed.initialize()
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def make_mesh(data_axis_size: int = -1, devices=None) -> Mesh:
