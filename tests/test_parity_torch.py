@@ -291,6 +291,108 @@ def test_pixel_gradient_parity(torch_renderer, jx_params):
         )
 
 
+def test_whole_image_eval_parity():
+    """Whole-image eval-path parity: one 48x48 view through our
+    ``Evaluator.render_image`` (padded lax.map chunks, device-side normal
+    reductions) vs the reference's ``get_eval_dicts`` python chunk loop
+    (pipelines/base_pipeline.py:107-133) with identical weights — covers
+    the chunk-pad-reduce and normal-rotation path the per-ray parity tests
+    skip."""
+    from tests.data_utils import look_at_pose
+    from tests.torch_ref import import_reference_pipeline
+
+    from nrhints_tpu.camera.model import CameraModel
+    from nrhints_tpu.camera.rays import RayGeneratorConfig, ray_generator_init
+    from nrhints_tpu.configs.config import SystemConfig
+    from nrhints_tpu.core.structs import PixelBundle
+    from nrhints_tpu.data.manager import DataManagerConfig
+    from nrhints_tpu.eval.evaluator import Evaluator
+
+    PIPE = import_reference_pipeline()
+    H = W = 48
+    cam_kwargs = dict(H=H, W=W, cx=23.5, cy=24.5, fx=55.0, fy=56.0, zn=2.0, zf=9.0)
+    # Reduced sampling so the reference's CPU render stays test-sized; both
+    # sides get the identical schedule.
+    samp = dict(
+        n_samples=16,
+        n_importance_samples=16,
+        up_sample_steps=2,
+        n_shadow_samples=16,
+        n_shadow_importance_samples=16,
+    )
+    torch.manual_seed(3)
+    ref_model_cfg = REF.neus.NeuSModelConfig(
+        renderer=REF.neus.NeuSRendererConfig(**samp), inference_chunk_size=512
+    )
+    ref_cam = PIPE.camera_model.CameraModel(**cam_kwargs)
+    ref_pipe = PIPE.base_pipeline.BaseNRHintPipeline(
+        config=__import__("types").SimpleNamespace(
+            model=ref_model_cfg,
+            ray_generator=__import__("camera.ray_generator", fromlist=["RayGeneratorConfig"]).RayGeneratorConfig(),
+            data=__import__("types").SimpleNamespace(white_background=True),
+        ),
+        shm_info=__import__("types").SimpleNamespace(camera=ref_cam, total_image_num=4),
+    )
+
+    pose = look_at_pose(np.array([1.2, 1.5, 2.4], np.float32))
+    pl = np.array([1.5, 2.0, 2.0], np.float32)
+
+    wi, hi = torch.meshgrid(
+        torch.linspace(0, W - 1, W), torch.linspace(0, H - 1, H), indexing="xy"
+    )
+    ref_bundle = PIPE.data_loader.RawPixelBundle(
+        img_indices=torch.zeros([H, W, 1], dtype=torch.long),
+        h_indices=hi[..., None],
+        w_indices=wi[..., None],
+        rgb_gt=None,
+        poses=torch.tensor(pose).expand((H, W, 4, 4)),
+        pls=torch.tensor(pl).expand((H, W, 3)),
+    )
+    with torch.no_grad():
+        ref_img, ref_metrics, ref_tensors = ref_pipe.get_eval_dicts(
+            ref_bundle, torch.device("cpu")
+        )
+    assert ref_metrics == {}  # no gt -> the stubbed metrics must not run
+
+    cfg = SystemConfig(
+        model=ModelConfig(renderer=RendererConfig(**samp), inference_chunk_size=512),
+        data=DataManagerConfig(white_background=True),
+    )
+    raygen_params, buffers = ray_generator_init(
+        jax.random.PRNGKey(0), RayGeneratorConfig(), 4
+    )
+    params = {
+        "renderer": jax.tree_util.tree_map(
+            jnp.asarray, renderer_torch_to_params(ref_pipe.renderer)
+        ),
+        "raygen": raygen_params,
+    }
+    ev = Evaluator(cfg, CameraModel(**cam_kwargs), buffers, mesh=None)
+    h_idx, w_idx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    res = ev.render_image(
+        params,
+        PixelBundle(
+            h_indices=h_idx.astype(np.float32),
+            w_indices=w_idx.astype(np.float32),
+            poses=np.broadcast_to(pose, (H, W, 4, 4)).copy(),
+            pls=np.broadcast_to(pl, (H, W, 3)).copy(),
+            img_indices=np.zeros((H, W), np.int32),
+            rgb_gt=None,
+        ),
+    )
+
+    np.testing.assert_allclose(res["rgb"], ref_img["rgb"], atol=5e-4)
+    np.testing.assert_allclose(res["normal"], ref_img["analytic_normals"], atol=1e-3)
+    np.testing.assert_allclose(
+        res["normalized_normal"], ref_img["normalized_analytic_normals"], atol=1e-3
+    )
+    # Shadow hint: a handful of silhouette pixels (~0.2%) land on the other
+    # side of an importance-sample tie under f32 reassociation — 3e-3 covers
+    # the observed 2.1e-3 worst case.
+    np.testing.assert_allclose(res["shadow_map"], ref_img["shadow_map"], atol=3e-3)
+    np.testing.assert_allclose(res["depth"], ref_tensors["depth"], atol=2e-3)
+
+
 def test_bg_nerf_parity():
     """Background NeRF: identical weights -> identical (density, raw rgb),
     incl. the joint PE(view, pl) branch (fields/nerf_density_field.py:66-89)."""

@@ -174,6 +174,64 @@ def test_train_step_scan_matches_single_steps(scene):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_donated_step_matches_undonated(scene):
+    """Production jits with donate_argnums=(0,) while the equivalence tests
+    above construct donate=False steps — this closes that gap (SURVEY §5.2:
+    donation/aliasing test).  Three donated steps must produce exactly the
+    params of three undonated steps; an aliasing bug (an input buffer reused
+    while still feeding another output) would diverge here."""
+    cfg = tiny_system_config()
+    dm = DataManager(scene, batch_size=cfg.model.batch_size)
+    batches = [dm.next_train_batch() for _ in range(3)]
+    key = jax.random.PRNGKey(11)
+
+    state_d, buffers_d, opt_d = _setup(cfg, scene)
+    step_d = make_train_step(cfg, scene.camera, buffers_d, opt_d, donate=True)
+    state_u, buffers_u, opt_u = _setup(cfg, scene)
+    step_u = make_train_step(cfg, scene.camera, buffers_u, opt_u, donate=False)
+
+    for i, b in enumerate(batches):
+        b_dev = jax.device_put(b)
+        k = jax.random.fold_in(key, i)
+        state_d, m_d = step_d(state_d, b_dev, k)
+        state_u, m_u = step_u(state_u, b_dev, k)
+
+    np.testing.assert_allclose(float(m_d["loss"]), float(m_u["loss"]), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_d.params),
+        jax.tree_util.tree_leaves(state_u.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_key_stream_host_invariant(scene):
+    """Cross-host pRNG discipline (SURVEY §5.2/§7.3): the per-step render
+    key is fold_in(train_key, global_step) — a pure function of the config
+    seed and the step counter, never of process_index.  The host-dependent
+    randomness lives exclusively in the pixel SAMPLER (rank-decorrelated
+    seeds, rank-disjoint draws — test_data.py), so any host count replays
+    the identical key stream over its share of the global batch.
+    test_multihost.py proves the composition end-to-end (params bitwise in
+    lockstep across 2 processes); this pins the key-derivation invariant
+    itself."""
+    import jax.numpy as jnp
+
+    seed = 42
+    key_a = jax.random.split(jax.random.PRNGKey(seed), 3)[2]  # trainer derivation
+    key_b = jax.random.split(jax.random.PRNGKey(seed), 3)[2]
+    np.testing.assert_array_equal(np.asarray(key_a), np.asarray(key_b))
+    steps = [np.asarray(jax.random.fold_in(key_a, s)) for s in range(4)]
+    assert len({tuple(k.ravel()) for k in steps}) == 4  # distinct per step
+
+    # The scanned variant folds from the CARRIED step counter, so a run
+    # chunked as K-step dispatches replays the same stream (the vmap inside
+    # make_train_step_scan) — spot-check the fold identity it relies on.
+    k_chunk = np.asarray(
+        jax.vmap(lambda i: jax.random.fold_in(key_a, i))(jnp.arange(2, 4))
+    )
+    np.testing.assert_array_equal(k_chunk, np.stack(steps[2:4]))
+
+
 def test_train_step_scan_sharded(scene):
     """The scanned step composes with the data mesh: stacked batches are
     sharded on the ray axis, params replicated."""

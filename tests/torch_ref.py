@@ -20,8 +20,20 @@ def import_reference():
     """Make the reference package importable; returns its module namespace."""
     if "mcubes" not in sys.modules:
         sys.modules["mcubes"] = types.ModuleType("mcubes")
-    if "tyro" not in sys.modules:  # shm_helper imports it at module level
-        sys.modules["tyro"] = types.ModuleType("tyro")
+    if "tyro" not in sys.modules:  # shm_helper/main_config import it at module level
+        tyro_stub = types.ModuleType("tyro")
+        conf_stub = types.ModuleType("tyro.conf")
+
+        class _PassthroughAnnotation:
+            """tyro.conf.FlagConversionOff[T] -> T (annotation-time only)."""
+
+            def __class_getitem__(cls, item):
+                return item
+
+        conf_stub.FlagConversionOff = _PassthroughAnnotation
+        tyro_stub.conf = conf_stub
+        sys.modules["tyro"] = tyro_stub
+        sys.modules["tyro.conf"] = conf_stub
     if _REFERENCE_PATH not in sys.path:
         sys.path.insert(0, _REFERENCE_PATH)
     import models.neus_hint_model as neus  # noqa
@@ -40,6 +52,44 @@ def import_reference():
         encodings=encodings,
         ray_utils=ray_utils,
         lie_groups=lie_groups,
+    )
+
+
+def import_reference_pipeline():
+    """Import the reference's pipeline layer (``pipelines/base_pipeline.py``)
+    for whole-image eval parity.  Its module imports pull in torchmetrics and
+    lpips, which this image does not ship — stub them with raising callables;
+    the parity test feeds ``rgb_gt=None`` so ``get_eval_dicts`` never touches
+    a metric (``pipelines/base_pipeline.py:144-148``)."""
+    import_reference()
+
+    def _stubbed_metric(*_a, **_k):  # pragma: no cover - must never run
+        raise RuntimeError("torchmetrics/lpips are stubbed in parity tests")
+
+    if "torchmetrics" not in sys.modules:
+        tm = types.ModuleType("torchmetrics")
+        func = types.ModuleType("torchmetrics.functional")
+        img = types.ModuleType("torchmetrics.functional.image")
+        img.peak_signal_noise_ratio = _stubbed_metric
+        img.structural_similarity_index_measure = _stubbed_metric
+        func.image = img
+        tm.functional = func
+        sys.modules["torchmetrics"] = tm
+        sys.modules["torchmetrics.functional"] = func
+        sys.modules["torchmetrics.functional.image"] = img
+    if "lpips" not in sys.modules:
+        lp = types.ModuleType("lpips")
+        lp.LPIPS = _stubbed_metric
+        sys.modules["lpips"] = lp
+
+    import camera.camera_model as camera_model  # noqa
+    import data.data_loader as data_loader  # noqa
+    import pipelines.base_pipeline as base_pipeline  # noqa
+
+    return types.SimpleNamespace(
+        base_pipeline=base_pipeline,
+        data_loader=data_loader,
+        camera_model=camera_model,
     )
 
 
