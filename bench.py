@@ -2,47 +2,73 @@
 on the flagship NRHints config — the north-star metric from BASELINE.json.
 
 Runs on whatever accelerator the default backend exposes (the real TPU chip
-under the driver).  Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+under the driver).  Prints ONE JSON line with the headline metric plus the
+numbers that ground it:
+    value            rays/s/chip, fused Pallas kernels on (the shipping path)
+    fused_off_value  rays/s/chip with fused_kernels="off" (pure-XLA path)
+    flops_per_ray    analytic per-ray FLOPs (XLA cost analysis of the jnp
+                     path; scripts/count_flops.py regenerates)
+    achieved_tflops  value * flops_per_ray / 1e12
+    mfu_bf16_peak    achieved_tflops / 197 (TPU v5e bf16 MXU peak)
+    steps_per_dispatch  timing granularity (self-describing results)
+    vs_baseline      value / A100_REFERENCE_RAYS_PER_SEC
 
 vs_baseline normalizes against an estimated PyTorch-reference-on-A100
-throughput of 10,000 rays/s/chip.  The reference repo publishes no numbers
-(BASELINE.md); 10k rays/s is our documented estimate for the reference's
-training step (512 rays x ~128 samples, double-backward SDF normals, and a
-shadow march that roughly doubles SDF evals — NeuS-class systems land in
-the low tens of thousands of rays/s on A100).  The north-star target is
-vs_baseline >= 3.0.
+throughput of 10,000 rays/s.  The reference publishes no numbers; the
+bracket and derivation live in BASELINE.md §"A100 baseline derivation"
+(analytic: per-ray FLOPs / A100 peak at a cited MFU, cross-checked against
+published NeuS-class timings; plausible range ~5k-20k rays/s, 10k kept as
+the round-1 midpoint so vs_baseline stays comparable across rounds).
+The north-star target is vs_baseline >= 3.0.
 """
 from __future__ import annotations
 
+import dataclasses
 import json
+import os
 import time
 
 A100_REFERENCE_RAYS_PER_SEC = 10_000.0
 
+# XLA cost analysis of the full train step (fwd + bwd incl. eikonal
+# double-backward + Adam), flagship config, batch 512, jnp path:
+# 7.553512e11 flops/step (scripts/count_flops.py, 2026-08-19).
+FLAGSHIP_FLOPS_PER_RAY = 7.553512e11 / 512.0
 
-def main() -> None:
+TPU_V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def _measure(
+    fused: str, batch: int, steps_per_dispatch: int, encoding: str = "frequency"
+) -> float:
+    """rays/s for one (fused_kernels, sdf encoding) setting (fresh jit,
+    shared comp cache).  Also reused by scripts/profile_hash.py."""
     import jax
-
-    from nrhints_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()  # cache hits skip the ~10-min remote compile
+    import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_setup
     from nrhints_tpu.parallel import mesh as mesh_lib
-    from nrhints_tpu.train.step import init_train_state, make_optimizer, make_train_step
+    from nrhints_tpu.train.step import (
+        init_train_state,
+        make_optimizer,
+        make_train_step_scan,
+    )
 
-    import jax.numpy as jnp
-
-    from nrhints_tpu.train.step import make_train_step_scan
-
-    batch = 512
-    # K train steps per dispatch — the trainer's steps_per_dispatch mode
-    # (bit-identical updates; tests/test_train.py::test_train_step_scan_*).
-    # Measured on v5e: +2% over single-step dispatch (dispatch overhead is
-    # mostly hidden by async dispatch; the step is device-bound).
-    steps_per_dispatch = 16
     cfg, camera, params, buffers, pixels = _flagship_setup(batch=batch)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            sdf_network=dataclasses.replace(cfg.model.sdf_network, encoding=encoding),
+            renderer=dataclasses.replace(cfg.model.renderer, fused_kernels=fused),
+        ),
+    )
+    if encoding != "frequency":
+        # _flagship_setup initialized frequency-encoded params; rebuild.
+        from nrhints_tpu.render.renderer import init_model_params
+
+        params = dict(params)
+        params["renderer"] = init_model_params(jax.random.PRNGKey(0), cfg.model)
     optimizer = make_optimizer(cfg)
     state = init_train_state(params, optimizer)
 
@@ -79,18 +105,44 @@ def main() -> None:
         state, metrics = step_fn(state, stacked, jax.random.fold_in(key, 100 + i))
     float(metrics["loss"])  # forces the whole chain to completion
     dt = (time.perf_counter() - t0) / (iters * steps_per_dispatch)
+    return batch / dt
 
-    rays_per_sec = batch / dt
-    rays_per_sec_per_chip = rays_per_sec / n_dev
+
+def main() -> None:
+    import jax
+
+    from nrhints_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()  # cache hits skip the ~10-min remote compile
+
+    batch = 512
+    # K train steps per dispatch — the trainer's steps_per_dispatch mode
+    # (bit-identical updates; tests/test_train.py::test_train_step_scan_*).
+    # Measured on v5e: +2% over single-step dispatch (dispatch overhead is
+    # mostly hidden by async dispatch; the step is device-bound).
+    steps_per_dispatch = 16
+    n_dev = len(jax.devices())
+
+    rays_per_sec = _measure("auto", batch, steps_per_dispatch)
+    per_chip = rays_per_sec / n_dev
+
+    fused_off = None
+    if os.environ.get("NRHINTS_BENCH_SKIP_FUSED_OFF") != "1":
+        fused_off = round(_measure("off", batch, steps_per_dispatch) / n_dev, 1)
+
+    achieved_tflops = per_chip * FLAGSHIP_FLOPS_PER_RAY / 1e12
     print(
         json.dumps(
             {
                 "metric": "train_step_rays_per_sec_per_chip",
-                "value": round(rays_per_sec_per_chip, 1),
+                "value": round(per_chip, 1),
                 "unit": "rays/s/chip (fwd+bwd+adam, full NRHints config)",
-                "vs_baseline": round(
-                    rays_per_sec_per_chip / A100_REFERENCE_RAYS_PER_SEC, 3
-                ),
+                "vs_baseline": round(per_chip / A100_REFERENCE_RAYS_PER_SEC, 3),
+                "fused_off_value": fused_off,
+                "flops_per_ray": FLAGSHIP_FLOPS_PER_RAY,
+                "achieved_tflops": round(achieved_tflops, 2),
+                "mfu_bf16_peak": round(achieved_tflops / TPU_V5E_BF16_PEAK_TFLOPS, 4),
+                "steps_per_dispatch": steps_per_dispatch,
             }
         )
     )

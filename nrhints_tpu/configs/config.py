@@ -36,7 +36,17 @@ class ParallelConfig:
     scale_global_batch: bool = False
     """If True, global batch = batch_size * n_devices (the reference keeps
     the global batch constant regardless of world size; that is the
-    default here too)."""
+    default here too).  Keeping 512 rays global on a v5e-8 leaves 64
+    rays/chip — single-digit kernel blocks per chip and poor MXU occupancy
+    (BASELINE.md §"Scaling plan"); scaling the batch is how multi-chip
+    throughput is actually harvested."""
+    batch_scale_lr_rule: str = "linear"
+    """LR compensation when scale_global_batch multiplies the batch by k:
+    "linear" (lr *= k), "sqrt" (lr *= sqrt(k)), or "none".  Measured on the
+    8-device CPU mesh at equal rays-seen (8x batch): linear tracks the
+    unscaled loss trajectory best (within ~6-15%), sqrt lags ~40-50%, none
+    ~60-150% (tests/test_train.py::test_scaled_batch_lr_rule; BASELINE.md
+    §"Scaling plan")."""
     multihost: bool = False
     """Call jax.distributed.initialize() before building the mesh."""
     steps_per_dispatch: int = 1

@@ -52,11 +52,32 @@ def lr_factor_schedule(warm_up_end: int, end_iter: int, alpha: float):
     return factor
 
 
-def make_optimizer(cfg: SystemConfig) -> optax.GradientTransformation:
-    """Two Adam groups (renderer / raygen) under one shared decay factor."""
+def batch_scale_lr_factor(cfg: SystemConfig, global_batch: int) -> float:
+    """LR compensation for a scaled global batch (ParallelConfig.
+    batch_scale_lr_rule): k = global_batch / configured batch."""
+    k = global_batch / cfg.model.batch_size
+    rule = cfg.parallel.batch_scale_lr_rule
+    if k == 1.0 or rule == "none":
+        return 1.0
+    if rule == "sqrt":
+        return float(k ** 0.5)
+    if rule == "linear":
+        return float(k)
+    raise ValueError(f"unknown batch_scale_lr_rule: {rule!r}")
+
+
+def make_optimizer(
+    cfg: SystemConfig, lr_scale: float = 1.0
+) -> optax.GradientTransformation:
+    """Two Adam groups (renderer / raygen) under one shared decay factor.
+
+    ``lr_scale`` multiplies both base rates — the trainer passes
+    ``batch_scale_lr_factor`` when scale_global_batch is on."""
     factor = lr_factor_schedule(cfg.model.warm_up_end, cfg.model.end_iter, cfg.model.lr_alpha)
-    tx_renderer = optax.adam(learning_rate=lambda s: cfg.model.lr * factor(s))
-    tx_raygen = optax.adam(learning_rate=lambda s: cfg.ray_generator.opt_lr * factor(s))
+    tx_renderer = optax.adam(learning_rate=lambda s: lr_scale * cfg.model.lr * factor(s))
+    tx_raygen = optax.adam(
+        learning_rate=lambda s: lr_scale * cfg.ray_generator.opt_lr * factor(s)
+    )
 
     def label_fn(params):
         return {

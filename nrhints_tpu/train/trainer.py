@@ -116,7 +116,11 @@ class Trainer:
             k_raygen, config.ray_generator, scene.total_image_num
         )
         params = {"renderer": renderer_params, "raygen": raygen_params}
-        self.optimizer = make_optimizer(config)
+        from nrhints_tpu.train.step import batch_scale_lr_factor
+
+        self.optimizer = make_optimizer(
+            config, lr_scale=batch_scale_lr_factor(config, self.global_batch)
+        )
         self.state: TrainState = init_train_state(params, self.optimizer)
         self.state = mesh_lib.replicate(self.mesh, self.state)
         self.buffers = mesh_lib.replicate(self.mesh, self.buffers)

@@ -232,6 +232,61 @@ def test_train_key_stream_host_invariant(scene):
     np.testing.assert_array_equal(k_chunk, np.stack(steps[2:4]))
 
 
+def test_scaled_batch_lr_rule(scene):
+    """scale_global_batch recipe (BASELINE.md §"Scaling plan"): at equal
+    rays-seen, an 8x batch with linear lr compensation must track the
+    unscaled loss trajectory, and must beat the uncompensated run."""
+    from nrhints_tpu.configs.config import ParallelConfig
+    from nrhints_tpu.train.step import batch_scale_lr_factor
+
+    def run(batch, steps, rule):
+        cfg = tiny_system_config(parallel=ParallelConfig(batch_scale_lr_rule=rule))
+        mesh = mesh_lib.make_mesh(8)
+        key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        params = {
+            "renderer": init_model_params(k1, cfg.model),
+            "raygen": ray_generator_init(k2, cfg.ray_generator, scene.total_image_num)[0],
+        }
+        buffers = ray_generator_init(k2, cfg.ray_generator, scene.total_image_num)[1]
+        opt = make_optimizer(cfg, lr_scale=batch_scale_lr_factor(cfg, batch))
+        state = mesh_lib.replicate(mesh, init_train_state(params, opt))
+        buffers = mesh_lib.replicate(mesh, buffers)
+        step = make_train_step(cfg, scene.camera, buffers, opt)
+        dm = DataManager(scene, batch_size=batch)
+        losses = []
+        for i in range(steps):
+            b = mesh_lib.shard_batch(mesh, dm.next_train_batch())
+            state, m = step(state, b, jax.random.fold_in(key, i))
+            losses.append(float(m["loss"]))
+        return np.asarray(losses)
+
+    base = run(32, 640, "none")[-50:].mean()  # 20,480 rays seen
+    scaled_linear = run(256, 80, "linear")[-8:].mean()  # same rays seen
+    scaled_none = run(256, 80, "none")[-8:].mean()
+
+    # Measured: linear lands within ~6% of the unscaled trajectory
+    # (0.103 vs 0.098); uncompensated lags ~60% (0.156).
+    assert scaled_linear < 1.25 * base, (scaled_linear, base)
+    assert scaled_none > 1.15 * scaled_linear, (scaled_none, scaled_linear)
+
+
+def test_batch_scale_lr_factor_rules():
+    from nrhints_tpu.configs.config import ParallelConfig
+    from nrhints_tpu.train.step import batch_scale_lr_factor
+
+    def cfg(rule):
+        return tiny_system_config(parallel=ParallelConfig(batch_scale_lr_rule=rule))
+
+    b = tiny_system_config().model.batch_size
+    assert batch_scale_lr_factor(cfg("linear"), b) == 1.0
+    assert batch_scale_lr_factor(cfg("linear"), 8 * b) == 8.0
+    np.testing.assert_allclose(batch_scale_lr_factor(cfg("sqrt"), 8 * b), 8 ** 0.5)
+    assert batch_scale_lr_factor(cfg("none"), 8 * b) == 1.0
+    with pytest.raises(ValueError):
+        batch_scale_lr_factor(cfg("cube"), 8 * b)
+
+
 def test_train_step_scan_sharded(scene):
     """The scanned step composes with the data mesh: stacked batches are
     sharded on the ray axis, params replicated."""
