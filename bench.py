@@ -39,7 +39,11 @@ TPU_V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def _measure(
-    fused: str, batch: int, steps_per_dispatch: int, encoding: str = "frequency"
+    fused: str,
+    batch: int,
+    steps_per_dispatch: int,
+    encoding: str = "frequency",
+    sdf_overrides: dict | None = None,
 ) -> float:
     """rays/s for one (fused_kernels, sdf encoding) setting (fresh jit,
     shared comp cache).  Also reused by scripts/profile_hash.py."""
@@ -59,7 +63,9 @@ def _measure(
         cfg,
         model=dataclasses.replace(
             cfg.model,
-            sdf_network=dataclasses.replace(cfg.model.sdf_network, encoding=encoding),
+            sdf_network=dataclasses.replace(
+                cfg.model.sdf_network, encoding=encoding, **(sdf_overrides or {})
+            ),
             renderer=dataclasses.replace(cfg.model.renderer, fused_kernels=fused),
         ),
     )

@@ -117,8 +117,18 @@ def hash_encoding_apply(params: dict, x: jnp.ndarray, cfg: HashEncodingConfig) -
     h = h[..., 0] ^ h[..., 1] ^ h[..., 2]  # [N, L, 8]
     h = (h % jnp.uint32(2 ** cfg.log2_hashmap_size)).astype(jnp.int32)
 
-    level_ids = jnp.arange(L, dtype=jnp.int32)[:, None]  # [L, 1]
-    vals = table[level_ids, h]  # [N, L, 8, F]
+    # Flat-index row gather: XLA:TPU lowers a 1-D row gather from a flat
+    # [L*T, F] table at HBM speed (~2.5 ms for 8.4M rows), while the
+    # equivalent batched advanced-indexing gather with [N, L, 8]-shaped
+    # broadcast index arrays lowers ~30x slower (81 ms measured on v5e —
+    # outputs/r2 probes, PROFILE.md "hash encoding rebuild").
+    T = jnp.int32(2 ** cfg.log2_hashmap_size)
+    flat_idx = (h + jnp.arange(L, dtype=jnp.int32)[:, None] * T).reshape(-1)
+    vals = jnp.take(
+        table.reshape(L * (2 ** cfg.log2_hashmap_size), cfg.features_per_level),
+        flat_idx,
+        axis=0,
+    ).reshape(*h.shape, cfg.features_per_level)  # [N, L, 8, F]
 
     # Trilinear interp weights per corner.
     cw = jnp.where(offsets == 1, w[..., None, :], 1.0 - w[..., None, :])

@@ -57,6 +57,11 @@ class SDFNetConfig:
     """Matmul operand dtype for the MLP ("float32" or "bfloat16").  Master
     weights, accumulation, activations, and the encoding always stay f32;
     "bfloat16" only casts the dot operands (full-rate MXU)."""
+    # Hash-grid hyperparams (defaults mirror the reference's HashEncoding,
+    # fields/encodings.py:237-258).  On TPU the encoding is gather-bound at
+    # ~5 ns/row (PROFILE.md "SDF encoding"); hash_levels=8 with
+    # hash_features_per_level=4 keeps the same 32-d output with HALF the
+    # gather/scatter rows and is the recommended TPU configuration.
     hash_levels: int = 16
     hash_min_res: int = 16
     hash_max_res: int = 1024

@@ -427,12 +427,16 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def render_video(self) -> None:
-        """Frame-strided video rendering over hosts; every host writes its
-        frames to the run dir, the main process encodes the two clips
-        (reference trainer.py:382-421 without the NCCL P2P relay)."""
+        """Frame-strided video rendering over hosts; the main process
+        collects every frame and encodes the two clips (reference
+        trainer.py:382-421).  The reference relayed frames rank->rank0 over
+        NCCL P2P; here non-main hosts ship each frame through a
+        ``process_allgather`` hop, so NO shared filesystem is assumed —
+        only the main process touches the run dir."""
         video_dir = self.log_dir / "video"
         frame_dir = video_dir / f"step_{self.global_step:07d}"
-        frame_dir.mkdir(parents=True, exist_ok=True)
+        if self.is_main_process:
+            frame_dir.mkdir(parents=True, exist_ok=True)
         bundles = self.data_manager.get_video_pixel_bundles(
             self.config.data.video_frame_num, is_z_up=self.config.data.is_z_up
         )
@@ -441,23 +445,28 @@ class Trainer:
             if self.process_count == 1
             else jax.device_get(self.state.params)
         )
+        import imageio.v3 as iio
 
-        n = len(bundles)
+        n, H, W = bundles.shape
         frames_per = -(-n // self.process_count)
         for i in range(frames_per):
             idx = i + frames_per * self.process_index
-            if idx >= n:
-                break
-            res = self.evaluator.render_image(params, bundles[idx])
-            rgb = (np.clip(res["rgb"] * 255, 0, 255)).astype(np.uint8)
-            import imageio.v3 as iio
+            if idx < n:
+                res = self.evaluator.render_image(params, bundles[idx])
+                rgb = (np.clip(res["rgb"] * 255, 0, 255)).astype(np.uint8)
+            else:  # every host must still feed the collective below
+                rgb = np.zeros((H, W, 3), np.uint8)
+            if self.process_count > 1:
+                from jax.experimental import multihost_utils
 
-            iio.imwrite(frame_dir / f"{idx:03d}.png", rgb)
-
-        if self.process_count > 1:
-            from jax.experimental import multihost_utils
-
-            multihost_utils.sync_global_devices("video_frames")
+                gathered = np.asarray(multihost_utils.process_allgather(rgb))
+                if self.is_main_process:
+                    for p in range(self.process_count):
+                        fidx = i + frames_per * p
+                        if fidx < n:
+                            iio.imwrite(frame_dir / f"{fidx:03d}.png", gathered[p])
+            elif idx < n:
+                iio.imwrite(frame_dir / f"{idx:03d}.png", rgb)
 
         if self.is_main_process:
             self._encode_videos(frame_dir, video_dir, n)

@@ -25,12 +25,17 @@ from bench import _measure  # noqa: E402
 def main() -> None:
     batch, k = 512, 16
     rows = [
-        ("frequency + fused kernels (shipping path)", "auto", "frequency"),
-        ("frequency, pure XLA", "off", "frequency"),
-        ("hash (XLA gather; kernels auto-fallback)", "auto", "hash"),
+        ("frequency + fused kernels (shipping path)", "auto", "frequency", None),
+        ("frequency, pure XLA", "off", "frequency", None),
+        ("hash L16/F2 (reference defaults)", "auto", "hash", None),
+        # Same 32-d output, half the gather/scatter rows: the gather cost is
+        # ~5 ns/row and scatter ~40 ns/row regardless of row width
+        # (outputs/r2/probe_gather2), so fewer, fatter rows win.
+        ("hash L8/F4 (TPU-leaning hyperparams)", "auto", "hash",
+         dict(hash_levels=8, hash_features_per_level=4)),
     ]
-    for label, fused, enc in rows:
-        r = _measure(fused, batch, k, encoding=enc)
+    for label, fused, enc, sdf_overrides in rows:
+        r = _measure(fused, batch, k, encoding=enc, sdf_overrides=sdf_overrides)
         print(f"{label:48s} {r:10.1f} rays/s", flush=True)
 
 
