@@ -102,3 +102,17 @@ def test_config_to_dict_roundtrippable():
     s = json.dumps(d)
     assert json.loads(s)["model"]["lr"] == 5e-4
     assert json.loads(s)["data"]["pixel_sampling_strategy"] == "all_images"
+
+
+def test_parallel_flags():
+    cfg = parse(
+        [
+            "config:nr-hints",
+            "--config.parallel.scale-global-batch", "True",
+            "--config.parallel.batch-scale-lr-rule", "sqrt",
+            "--config.parallel.steps-per-dispatch", "8",
+        ]
+    )
+    assert cfg.parallel.scale_global_batch is True
+    assert cfg.parallel.batch_scale_lr_rule == "sqrt"
+    assert cfg.parallel.steps_per_dispatch == 8
