@@ -44,6 +44,7 @@ def _measure(
     steps_per_dispatch: int,
     encoding: str = "frequency",
     sdf_overrides: dict | None = None,
+    renderer_overrides: dict | None = None,
 ) -> float:
     """rays/s for one (fused_kernels, sdf encoding) setting (fresh jit,
     shared comp cache).  Also reused by scripts/profile_hash.py."""
@@ -66,7 +67,9 @@ def _measure(
             sdf_network=dataclasses.replace(
                 cfg.model.sdf_network, encoding=encoding, **(sdf_overrides or {})
             ),
-            renderer=dataclasses.replace(cfg.model.renderer, fused_kernels=fused),
+            renderer=dataclasses.replace(
+                cfg.model.renderer, fused_kernels=fused, **(renderer_overrides or {})
+            ),
         ),
     )
     if encoding != "frequency":
@@ -91,7 +94,7 @@ def _measure(
         stacked = mesh_lib.shard_batch(mesh, jax.device_get(stacked), batch_axis=1)
 
     step_fn = make_train_step_scan(
-        cfg, camera, buffers, optimizer, n_steps=steps_per_dispatch
+        cfg, camera, buffers, optimizer, n_steps=steps_per_dispatch, mesh=mesh
     )
     key = jax.random.PRNGKey(0)
 
@@ -136,6 +139,18 @@ def main() -> None:
     if os.environ.get("NRHINTS_BENCH_SKIP_FUSED_OFF") != "1":
         fused_off = round(_measure("off", batch, steps_per_dispatch) / n_dev, 1)
 
+    # Occupancy point: the same step at 4096 rays/chip (PROFILE.md
+    # "Occupancy curve" — per-chip throughput rises with batch; this is the
+    # scale-global-batch recipe's operating point, persisted per round).
+    value_at_4096 = mfu_at_4096 = None
+    if os.environ.get("NRHINTS_BENCH_SKIP_4096") != "1":
+        at4096 = _measure("auto", 4096, steps_per_dispatch) / n_dev
+        value_at_4096 = round(at4096, 1)
+        mfu_at_4096 = round(
+            at4096 * FLAGSHIP_FLOPS_PER_RAY / 1e12 / TPU_V5E_BF16_PEAK_TFLOPS, 4
+        )
+
+    dev = jax.devices()[0]
     achieved_tflops = per_chip * FLAGSHIP_FLOPS_PER_RAY / 1e12
     print(
         json.dumps(
@@ -145,10 +160,15 @@ def main() -> None:
                 "unit": "rays/s/chip (fwd+bwd+adam, full NRHints config)",
                 "vs_baseline": round(per_chip / A100_REFERENCE_RAYS_PER_SEC, 3),
                 "fused_off_value": fused_off,
+                "value_at_4096": value_at_4096,
+                "mfu_at_4096": mfu_at_4096,
                 "flops_per_ray": FLAGSHIP_FLOPS_PER_RAY,
                 "achieved_tflops": round(achieved_tflops, 2),
                 "mfu_bf16_peak": round(achieved_tflops / TPU_V5E_BF16_PEAK_TFLOPS, 4),
                 "steps_per_dispatch": steps_per_dispatch,
+                "jax_version": jax.__version__,
+                "device_kind": dev.device_kind,
+                "platform": dev.platform,
             }
         )
     )

@@ -81,3 +81,30 @@ def replicate(mesh: Optional[Mesh], tree):
         return jax.device_put(tree)
     sh = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_rays_call(fn, mesh: Optional[Mesh], in_specs, out_specs):
+    """Wrap ``fn`` in ``jax.shard_map`` over the 'data' axis — the manual
+    escape hatch that makes Pallas custom calls partition.
+
+    XLA's SPMD partitioner has no sharding rule for Mosaic custom calls: a
+    ``pallas_call`` embedded in a GSPMD-partitioned program silently gathers
+    its operands onto one device (measured in round 2 — kernel outputs came
+    back unsharded under an 8-way sharded batch).  ``shard_map`` runs the
+    kernel per-shard instead: each device sees only its local ray block, so
+    the kernels scale over the mesh exactly like the reference's DDP
+    replicas scale its marches (``trainer/trainer.py:88-93,118``).
+
+    ``check_vma=False``: the fused core ops are ``jax.custom_vjp`` whose bwd
+    returns unreduced weight cotangents; with vma checking off, shard_map's
+    transpose inserts the psum for replicated-in (P()) arguments itself —
+    verified grad-exact vs the unsharded path in tests/test_shard_fused.py.
+
+    Returns ``fn`` unchanged when the mesh is absent or single-device (the
+    single-chip program stays byte-identical to the unwrapped one).
+    """
+    if mesh is None or mesh.size <= 1:
+        return fn
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )

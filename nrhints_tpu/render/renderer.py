@@ -58,6 +58,9 @@ from nrhints_tpu.fields.sdf import (
     sdf_value_feat_grad,
 )
 from nrhints_tpu.fields.variance import VarianceConfig, inv_s_from_params, variance_init
+from nrhints_tpu.parallel.mesh import shard_rays_call
+
+from jax.sharding import PartitionSpec as P
 
 
 @dataclass(frozen=True)
@@ -87,6 +90,18 @@ class RendererConfig:
     """Pallas fused-march kernels: "auto" (on TPU backends), "on", "off".
     The fused path computes identical math with TPU-shaped kernels (bitonic
     merges, matmul prefix scans); tiny float differences vs the jnp path."""
+    fused_interpret: bool = False
+    """Run the Pallas kernels in interpret mode (CPU-executable) — lets the
+    CPU test mesh exercise the exact fused program structure, including its
+    shard_map partitioning (tests/test_shard_fused.py, dryrun_multichip)."""
+    march_dtype: str = "float32"
+    """Dot-operand dtype inside the march kernels' MLP sweeps (the marches
+    are no-grad samplers; bf16 measured numerically equivalent on the
+    procedural scenes — PROFILE.md "March-kernel dtype")."""
+    importance_block_rays: int = 32
+    shadow_block_rays: int = 16
+    """Per-grid-step ray blocks for the two march kernels (VMEM-bounded;
+    measured optima in PROFILE.md "March-kernel block_rays sweep")."""
 
 
 @dataclass(frozen=True)
@@ -216,7 +231,16 @@ def _fused_shadow_compatible(rcfg: RendererConfig, sdf_cfg=None) -> bool:
     )
 
 
-def _importance_sample_z(params, cfg: ModelConfig, rays_o, rays_d, z_vals):
+def _ray_mesh(mesh, batch: int):
+    """The mesh to shard_map kernels over, or None.  Falls back to the
+    unwrapped call when the (static) batch doesn't divide the mesh — the
+    kernels then still run correctly, just without partitioning."""
+    if mesh is None or mesh.size <= 1 or batch % mesh.size:
+        return None
+    return mesh
+
+
+def _importance_sample_z(params, cfg: ModelConfig, rays_o, rays_d, z_vals, mesh=None):
     """4 rounds of up-sampling; returns the merged [B, n+n_imp] z buffer.
 
     Gradients are cut at the output (reference runs this under no_grad).
@@ -234,12 +258,29 @@ def _importance_sample_z(params, cfg: ModelConfig, rays_o, rays_d, z_vals):
     if _use_fused(rcfg) and _fused_march_compatible(rcfg, cfg.sdf_network):
         from nrhints_tpu.kernels.march import fused_importance_z
 
+        def call(p, o, d, z):
+            return fused_importance_z(
+                p,
+                cfg.sdf_network,
+                o,
+                d,
+                z,
+                block_rays=rcfg.importance_block_rays,
+                interpret=rcfg.fused_interpret,
+                mlp_dtype=rcfg.march_dtype,
+            )
+
+        # Per-shard ray blocks under a mesh (see shard_rays_call).
+        call = shard_rays_call(
+            call,
+            _ray_mesh(mesh, batch),
+            in_specs=(P(), P("data"), P("data"), P("data")),
+            out_specs=P("data"),
+        )
         # The kernel has no AD rules; this whole block is no-grad anyway,
         # so cut tangents at the inputs (not just the output).
         sg = jax.lax.stop_gradient
-        return fused_importance_z(
-            sg(params["sdf"]), cfg.sdf_network, sg(rays_o), sg(rays_d), sg(z_vals)
-        )
+        return call(sg(params["sdf"]), sg(rays_o), sg(rays_d), sg(z_vals))
 
     sdf = sdf_at(z_vals)
     for i in range(rcfg.up_sample_steps):
@@ -266,6 +307,7 @@ def _shadow_transmittance(
     target_points: jnp.ndarray,  # [N, 3]
     cos_anneal_ratio,
     key: jax.Array | None,
+    mesh=None,
 ) -> jnp.ndarray:
     """Final transmittance of a march from the light to just before the
     target point -> [N, 1].  Mirrors reference get_visibility (:373-432):
@@ -292,13 +334,33 @@ def _shadow_transmittance(
     if _use_fused(rcfg) and _fused_shadow_compatible(rcfg, cfg.sdf_network):
         from nrhints_tpu.kernels.march import fused_shadow_tau
 
+        def call(p, o, d, z, sdist, invs, anneal):
+            return fused_shadow_tau(
+                p,
+                cfg.sdf_network,
+                o,
+                d,
+                z,
+                sdist,
+                invs,
+                anneal,
+                block_rays=rcfg.shadow_block_rays,
+                interpret=rcfg.fused_interpret,
+                mlp_dtype=rcfg.march_dtype,
+            )
+
+        call = shard_rays_call(
+            call,
+            _ray_mesh(mesh, batch),
+            in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P(), P()),
+            out_specs=P("data"),
+        )
         # No AD rules in the kernel; the shadow hint is no-grad here
         # (_fused_shadow_compatible excludes shadow_hint_gradient=True), so
         # cut tangents at every kernel input.
         sg = jax.lax.stop_gradient
-        return fused_shadow_tau(
+        return call(
             sg(params["sdf"]),
-            cfg.sdf_network,
             sg(ray_o),
             sg(ray_d),
             sg(z_vals),
@@ -378,11 +440,18 @@ def render_rays(
     geometry_warmup: bool = False,
     cos_anneal_ratio: jnp.ndarray | float = 1.0,
     background_rgb: jnp.ndarray | None = None,
+    mesh=None,
 ) -> RenderOutput:
     """Render a flat batch of rays -> RenderOutput.
 
     ``is_training`` and ``geometry_warmup`` are *static* — the trainer holds
     separately jitted variants.  ``cos_anneal_ratio`` is a traced scalar.
+
+    ``mesh``: optional ('data',) device mesh.  The pure-XLA path partitions
+    under GSPMD on its own; the fused Pallas kernels do NOT (no sharding
+    rule for Mosaic custom calls), so under a multi-device mesh they are
+    wrapped in ``shard_map`` over 'data' here.  Static and hashable — safe
+    to close over in jitted callers.
     """
     rcfg = cfg.renderer
     rays_o, rays_d, rays_pl = rays.origins, rays.directions, rays.pl_positions
@@ -405,7 +474,7 @@ def render_rays(
     )
 
     if rcfg.n_importance_samples > 0:
-        z_vals = _importance_sample_z(params, cfg, rays_o, rays_d, z_vals)
+        z_vals = _importance_sample_z(params, cfg, rays_o, rays_d, z_vals, mesh)
 
     # Background.
     background_alpha = None
@@ -442,15 +511,28 @@ def render_rays(
     pls_flat = pls_b.reshape(-1, 3)
 
     use_fused_core = _use_fused(rcfg) and cfg.sdf_network.encoding == "frequency"
+    core_mesh = _ray_mesh(mesh, batch)
     if use_fused_core:
         # Fused Pallas core: value + feature + analytic gradient in VMEM,
         # with a recompute-in-kernel custom VJP (the XLA path spills every
         # activation stream to HBM and is bandwidth-bound).
         from nrhints_tpu.kernels.core_mlp import fused_sdf_value_feat_grad
 
-        sdf, feat, grads = fused_sdf_value_feat_grad(
-            params["sdf"], cfg.sdf_network, pts_flat
+        def sdf_call(p, x):
+            return fused_sdf_value_feat_grad(
+                p, cfg.sdf_network, x, interpret=rcfg.fused_interpret
+            )
+
+        # Sharded over the flattened [B*S] point axis (B divides => B*S
+        # does).  Differentiable: shard_map's transpose psums the weight
+        # cotangents of the replicated params operand.
+        sdf_call = shard_rays_call(
+            sdf_call,
+            core_mesh,
+            in_specs=(P(), P("data")),
+            out_specs=(P("data"), P("data"), P("data")),
         )
+        sdf, feat, grads = sdf_call(params["sdf"], pts_flat)
     else:
         sdf, feat, grads = sdf_value_feat_grad(params["sdf"], cfg.sdf_network, pts_flat)
     inv_s = inv_s_from_params(params["variance"])
@@ -508,6 +590,7 @@ def render_rays(
                 hit_points,
                 cos_anneal_ratio,
                 k_shadow if is_training else None,
+                mesh,
             )
             if not rcfg.shadow_hint_gradient:
                 vis = jax.lax.stop_gradient(vis)
@@ -516,7 +599,7 @@ def render_rays(
         else:
             visibilities, shadow_map = _partial_shadow_hint(
                 params, cfg, rays_o, rays_d, rays_pl, z_vals, weights,
-                cos_anneal_ratio, k_shadow if is_training else None,
+                cos_anneal_ratio, k_shadow if is_training else None, mesh,
             )
     elif has_shadow and geometry_warmup:
         visibilities = jnp.zeros((batch * n_total, 1), dtype=alpha.dtype)
@@ -550,13 +633,7 @@ def render_rays(
         )
 
     input_normal = analytic_normal if rcfg.normal_type == "analytic" else normalized_normal
-    if use_fused_core:
-        from nrhints_tpu.kernels.core_mlp import fused_reflectance_forward as color_fn
-    else:
-        color_fn = reflectance_forward
-    sampled_color = color_fn(
-        params["color"],
-        cfg.reflectance_network,
+    color_args = [
         pts_flat,
         input_normal,
         dirs_flat,
@@ -564,7 +641,34 @@ def render_rays(
         pls_flat,
         visibilities if rcfg.shadow_hint else None,
         specular_cue if rcfg.specular_hint else None,
-    ).reshape(batch, n_total, 3)
+    ]
+    if use_fused_core:
+        from nrhints_tpu.kernels.core_mlp import fused_reflectance_forward
+
+        # Optional hint operands can't ride through shard_map as None;
+        # close over the present/absent pattern instead (it is static).
+        present = [a is not None for a in color_args]
+        live_args = [a for a in color_args if a is not None]
+
+        def color_call(p, *live):
+            it = iter(live)
+            full = [next(it) if ok else None for ok in present]
+            return fused_reflectance_forward(
+                p, cfg.reflectance_network, *full, interpret=rcfg.fused_interpret
+            )
+
+        color_call = shard_rays_call(
+            color_call,
+            core_mesh,
+            in_specs=(P(),) + (P("data"),) * len(live_args),
+            out_specs=P("data"),
+        )
+        sampled_color = color_call(params["color"], *live_args)
+    else:
+        sampled_color = reflectance_forward(
+            params["color"], cfg.reflectance_network, *color_args
+        )
+    sampled_color = sampled_color.reshape(batch, n_total, 3)
 
     if background_alpha is not None:
         sampled_color = jnp.concatenate(
@@ -602,7 +706,7 @@ def render_rays(
 
 def _partial_shadow_hint(
     params, cfg: ModelConfig, rays_o, rays_d, rays_pl, z_vals, weights,
-    cos_anneal_ratio, key,
+    cos_anneal_ratio, key, mesh=None,
 ):
     """Partial-hint variant (n_shadow_importance_clip > 0): march shadow rays
     to ``n_clip`` evenly strided sample points per camera ray, chunked with
@@ -641,7 +745,7 @@ def _partial_shadow_hint(
     def body(args):
         pts_c, pls_c, k = args
         kk = k if key is not None else None
-        return _shadow_transmittance(params, cfg, pls_c, pts_c, cos_anneal_ratio, kk)
+        return _shadow_transmittance(params, cfg, pls_c, pts_c, cos_anneal_ratio, kk, mesh)
 
     vis = jax.lax.map(
         body,

@@ -121,8 +121,13 @@ def forward_pipeline(
     is_training: bool,
     geometry_warmup: bool,
     cos_anneal_ratio,
+    mesh=None,
 ) -> RenderOutput:
-    """Ray generation + rendering (the reference pipeline.forward)."""
+    """Ray generation + rendering (the reference pipeline.forward).
+
+    ``mesh`` partitions the fused Pallas kernels over 'data' (see
+    render_rays); the rest of the pipeline shards under GSPMD either way.
+    """
     rays = generate_rays(params["raygen"], buffers, camera, cfg.ray_generator, batch)
     background_rgb = (
         jnp.ones((1, 3)) if cfg.data.white_background else jnp.zeros((1, 3))
@@ -136,6 +141,7 @@ def forward_pipeline(
         geometry_warmup=geometry_warmup,
         cos_anneal_ratio=cos_anneal_ratio,
         background_rgb=background_rgb,
+        mesh=mesh,
     )
 
 
@@ -147,12 +153,16 @@ def make_train_step(
     *,
     geometry_warmup: bool = False,
     donate: bool = True,
+    mesh=None,
 ):
     """Build the jitted train step for one (static) phase.
 
     The trainer holds two of these when geometry warmup is configured
     (warmup phase / normal phase) and switches at the warmup boundary —
     keeping both graphs free of dead branches.
+
+    ``mesh``: pass the trainer's ('data',) mesh so the fused Pallas kernels
+    partition over it (shard_map); None keeps the single-device program.
     """
     mcfg: ModelConfig = cfg.model
     anneal_end = mcfg.anneal_end
@@ -175,6 +185,7 @@ def make_train_step(
                 is_training=True,
                 geometry_warmup=geometry_warmup,
                 cos_anneal_ratio=cos_anneal_ratio,
+                mesh=mesh,
             )
             loss, metrics = compute_loss_dict(out, batch.rgb_gt, mcfg.igr_weight)
             return loss, metrics
@@ -199,6 +210,7 @@ def make_train_step_scan(
     n_steps: int,
     geometry_warmup: bool = False,
     donate: bool = True,
+    mesh=None,
 ):
     """``n_steps`` train steps in ONE dispatch via ``lax.scan``.
 
@@ -234,6 +246,7 @@ def make_train_step_scan(
                 is_training=True,
                 geometry_warmup=geometry_warmup,
                 cos_anneal_ratio=cos_anneal_ratio,
+                mesh=mesh,
             )
             return compute_loss_dict(out, batch.rgb_gt, mcfg.igr_weight)
 

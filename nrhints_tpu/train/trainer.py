@@ -125,13 +125,16 @@ class Trainer:
         self.state = mesh_lib.replicate(self.mesh, self.state)
         self.buffers = mesh_lib.replicate(self.mesh, self.buffers)
 
-        # Two static train-step variants (geometry warmup / normal).
+        # Two static train-step variants (geometry warmup / normal).  The
+        # mesh rides along so the fused Pallas kernels shard_map over it.
         self._step_normal = make_train_step(
-            config, self.camera, self.buffers, self.optimizer, geometry_warmup=False
+            config, self.camera, self.buffers, self.optimizer,
+            geometry_warmup=False, mesh=self.mesh,
         )
         self._step_warmup = (
             make_train_step(
-                config, self.camera, self.buffers, self.optimizer, geometry_warmup=True
+                config, self.camera, self.buffers, self.optimizer,
+                geometry_warmup=True, mesh=self.mesh,
             )
             if config.model.geometry_warmup_end > 0
             else None
@@ -253,6 +256,7 @@ class Trainer:
                 self.optimizer,
                 n_steps=n_steps,
                 geometry_warmup=warmup,
+                mesh=self.mesh,
             )
             self._scan_steps[(warmup, n_steps)] = scan_fn
         batches = [self.data_manager.next_train_batch() for _ in range(n_steps)]
@@ -318,11 +322,24 @@ class Trainer:
             if self.process_count == 1
             else jax.device_get(self.state.params)
         )
+        rg = self.config.ray_generator
+        rg_on = rg.cam_opt_mode != "off" or rg.pl_opt
+        # Pre-registration raygen tables (identical on every host — params
+        # run in lockstep): the baseline for the multihost ownership merge.
+        baseline_rg = (
+            {k: np.asarray(v) for k, v in jax.device_get(params["raygen"]).items()}
+            if rg_on and self.process_count > 1
+            else None
+        )
 
         metrics_list = []
         registered = False
+        owned_rows: list = []
         for idx in range(start, total, skip * self.process_count):
             pixels = self.data_manager.get_test_view(idx)
+            if rg_on and pixels.rgb_gt is not None:
+                # This host registers (owns) this view's pose/light row.
+                owned_rows.append(int(np.asarray(pixels.img_indices).reshape(-1)[0]))
             img_dict, metrics, tensor_dict, params = self.evaluator.get_eval_dicts(
                 params, pixels
             )
@@ -336,18 +353,25 @@ class Trainer:
 
         # The reference's register_view mutates the live ray generator, so
         # test-time registered pose/light rows persist into the training
-        # state (test-image rows are never sampled by training).  Mirror
-        # that on a single host; multihost hosts register different views
-        # and a divergent "replicated" table would be undefined, so there
-        # registration stays per-eval-round.
-        rg = self.config.ray_generator
-        if (
-            registered
-            and self.process_count == 1
-            and (rg.cam_opt_mode != "off" or rg.pl_opt)
-        ):
+        # state (test-image rows are never sampled by training,
+        # base_pipeline.py:71-91).  Single host: fold the updated tables
+        # straight back.  Multihost: hosts register DISJOINT views (strided
+        # assignment => each per-image row is touched by at most one host),
+        # so an allgather + ownership merge reproduces single-host
+        # semantics exactly — every host folds in every other host's
+        # registered rows and the tables stay in lockstep.
+        if registered and self.process_count == 1 and rg_on:
             new_params = dict(self.state.params)
             new_params["raygen"] = mesh_lib.replicate(self.mesh, params["raygen"])
+            self.state = self.state.replace(params=new_params)
+        elif rg_on and self.process_count > 1:
+            # All hosts enter (collective), including hosts that rendered
+            # zero views this round (their deltas are zero).
+            merged = self._merge_registered_raygen(
+                baseline_rg, jax.device_get(params["raygen"]), owned_rows
+            )
+            new_params = dict(self.state.params)
+            new_params["raygen"] = mesh_lib.replicate(self.mesh, merged)
             self.state = self.state.replace(params=new_params)
 
         if self.process_count > 1:
@@ -373,6 +397,35 @@ class Trainer:
             if self.is_main_process:
                 self.logger.log(means, self.global_step)
         return means
+
+    @staticmethod
+    def _merge_registered_raygen(
+        baseline: dict, updated: dict, owned_rows: list
+    ) -> dict:
+        """Ownership merge of per-image raygen tables across hosts.
+
+        Each host contributes ``updated - baseline`` masked to the rows of
+        the views IT registered this round; summing the allgathered deltas
+        onto the shared baseline reconstructs the table every host would
+        hold had it registered all views itself (rows are disjoint under
+        the strided view assignment, so the sum never mixes two hosts'
+        updates to one row).  Restores the reference's in-place persistence
+        semantics (base_pipeline.py:71-91) on multihost.
+        """
+        from jax.experimental import multihost_utils
+
+        merged = {}
+        for k in sorted(baseline):  # deterministic collective order
+            base = np.asarray(baseline[k])
+            upd = np.asarray(updated[k])
+            mask = np.zeros((base.shape[0],) + (1,) * (base.ndim - 1), base.dtype)
+            if owned_rows:
+                mask[np.asarray(owned_rows)] = 1.0
+            all_delta = np.asarray(
+                multihost_utils.process_allgather((upd - base) * mask)
+            )
+            merged[k] = base + all_delta.sum(axis=0)
+        return merged
 
     def _save_dumps(self, view_idx: int, img_dict: dict, tensor_dict: dict) -> None:
         import imageio.v3 as iio

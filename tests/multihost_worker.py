@@ -40,6 +40,7 @@ def main() -> None:
 
     import dataclasses
 
+    from nrhints_tpu.camera.rays import RayGeneratorConfig
     from nrhints_tpu.configs.config import IntervalsConfig, ParallelConfig, SystemConfig
     from nrhints_tpu.data.parser import parse_load_nr_data
     from nrhints_tpu.fields.reflectance import ReflectanceNetConfig
@@ -73,6 +74,10 @@ def main() -> None:
         # steps_per_dispatch>1 exercises make_array_from_process_local_data
         # on the stacked [K, rays] batch axis too.
         parallel=ParallelConfig(steps_per_dispatch=4),
+        # SE3 cam-opt + pl-opt ON: the final strided eval registers each
+        # test view's pose/light rows on a DIFFERENT host; the ownership
+        # merge must fold them all into lockstep state (VERDICT r2 item 4).
+        ray_generator=RayGeneratorConfig(cam_opt_mode="SE3", pl_opt=True),
         data=dataclasses.replace(
             SystemConfig().data, testset_skip=1, video_frame_num=2
         ),
@@ -131,15 +136,39 @@ def main() -> None:
         assert len(sorted(frame_dir.glob("*.png"))) == 4
     multihost_utils.sync_global_devices("test_video_files")
 
+    # (f) Multihost test-time registration PERSISTED (VERDICT r2 item 4):
+    # the final eval registered view 0,2 on host0 and view 1 on host1; the
+    # ownership merge must leave every test view's pose AND light rows
+    # nonzero on BOTH hosts, with the tables in cross-host lockstep
+    # (covered by (a) above — params include the merged raygen tables).
+    rg_tables = jax.device_get(trainer.state.params)["raygen"]
+    test_rows = [
+        int(np.asarray(trainer.data_manager.get_test_view(i).img_indices).reshape(-1)[0])
+        for i in range(trainer.data_manager.test_view_num)
+    ]
+    assert len(test_rows) == 3
+    for key in ("cam_pose_adjustment", "pl_adjustment"):
+        tab = np.asarray(rg_tables[key])
+        for r in test_rows:
+            assert np.abs(tab[r]).max() > 0, f"{key} row {r} not registered"
+
     # (d) Orbax coordinated save happened at steps 10 and 20 inside run();
-    # a fresh Trainer on the same run dir resumes on every host.
+    # a fresh Trainer on the same run dir resumes on every host.  The final
+    # eval's registered raygen rows postdate the last save (reference
+    # semantics: register_view mutates the live model without re-saving),
+    # so resume equality is asserted on the renderer subtree.
     t2 = Trainer(cfg, scene=scene)
     assert t2.global_step == 20
     assert int(t2.state.step) == 20
-    flat2 = np.concatenate(
-        [np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(jax.device_get(t2.state.params))]
+    flat_r1 = np.concatenate(
+        [np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(
+            jax.device_get(trainer.state.params)["renderer"])]
     )
-    np.testing.assert_array_equal(flat, flat2)
+    flat_r2 = np.concatenate(
+        [np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(
+            jax.device_get(t2.state.params)["renderer"])]
+    )
+    np.testing.assert_array_equal(flat_r1, flat_r2)
 
     # (e) Resumed sampler streams stay rank-decorrelated and identical to a
     # continuation: one more train step must keep hosts in lockstep.
