@@ -48,15 +48,17 @@ def _load_image(path: pathlib.Path, ext: str) -> np.ndarray:
     if ext == ".npy":
         return np.load(path)
     if ext == ".exr":
+        # Prefer an installed imageio EXR backend (freeimage/openexr —
+        # battle-tested, full format coverage); fall back to the vendored
+        # minimal reader (data/exr.py: scanline NONE/ZIPS/ZIP, half/float —
+        # the subset the reference's real captures and Blender emit,
+        # reference data/data_parser.py:96-97).
         try:
             return iio.imread(path)  # float HDR, no scaling
-        except Exception as e:
-            raise RuntimeError(
-                f"cannot decode {path}: no EXR backend is installed "
-                "(imageio needs the freeimage/openexr plugin). Convert the "
-                "frames to .npy float arrays and set file_ext='.npy' in "
-                "transforms_*.json — the parser treats both as linear HDR."
-            ) from e
+        except Exception:
+            from nrhints_tpu.data.exr import read_exr
+
+            return read_exr(path)
     return iio.imread(path) / 255.0
 
 

@@ -84,8 +84,11 @@ class Evaluator:
         self._render_image_jit = jax.jit(self._render_image_impl)
         self._register_jit = None  # built lazily
         # Per-top-key replication cache: register_view rebuilds the params
-        # dict per view but leaves 'renderer' identical, so caching
-        # whole-dict identity would re-upload the full model per view.
+        # dict per view but leaves 'renderer' identical, so caching the
+        # whole dict would re-upload the full model per view.  Keyed on a
+        # content fingerprint (see _subtree_fingerprint) — identity keying
+        # would silently serve a stale device copy after an in-place edit
+        # of a cached host-numpy subtree.
         self._params_cache: dict = {}
 
     # ------------------------------------------------------------------
@@ -103,6 +106,7 @@ class Evaluator:
             is_training=False,
             geometry_warmup=False,
             cos_anneal_ratio=1.0,
+            mesh=self.mesh,
         )
         # Per-pixel reductions on device (weighted, inside-sphere-masked
         # normals as in base_pipeline.py:126-133).
@@ -166,6 +170,29 @@ class Evaluator:
             )
         return batched, n_chunks * chunk
 
+    @staticmethod
+    def _subtree_fingerprint(sub) -> tuple:
+        """Content fingerprint of a params subtree, cheap enough to compute
+        per evaluated view (the trees are KB-to-MB scale).
+
+        Host ``np.ndarray`` leaves hash their bytes — they are mutable, so
+        identity says nothing about content.  ``jax.Array`` leaves key on
+        ``id()``: they are immutable, and hashing them would force a
+        device->host readback per view.  Structure (treedef) is folded in
+        so two subtrees with identical leaves but different layouts miss."""
+        import zlib
+
+        leaves, treedef = jax.tree_util.tree_flatten(sub)
+        parts = [hash(treedef)]
+        for leaf in leaves:
+            if isinstance(leaf, np.ndarray):
+                parts.append(
+                    (leaf.shape, str(leaf.dtype), zlib.crc32(leaf.tobytes()))
+                )
+            else:
+                parts.append(id(leaf))
+        return tuple(parts)
+
     def _prepare_params(self, params):
         """Replicate params over the eval mesh ONCE per distinct subtree
         (render_test_views/render_video loop many views with the same
@@ -173,30 +200,29 @@ class Evaluator:
         needless round trip over the device link).  Cached per top-level
         key because register_view rebuilds the dict but not 'renderer'.
 
-        The cache is keyed on subtree *identity*, which assumes callers
-        never mutate a host-numpy params subtree in place (all in-repo
-        callers replace whole subtrees functionally — jax arrays are
-        immutable anyway).  An in-place edit of a cached host array would
-        silently serve the stale device copy; it also pins the previous
-        subtree alive, which for these KB-scale param trees is cheaper
-        than fingerprinting their contents per view."""
+        Keyed on a content fingerprint, so an in-place edit of a cached
+        host-numpy subtree invalidates the entry instead of silently
+        serving the stale device copy.  jax.Array leaves still key on
+        identity (immutable; see _subtree_fingerprint), which also pins
+        the source leaves so their ids can't be recycled."""
         if self.mesh is None:
             return params
         from nrhints_tpu.parallel import mesh as mesh_lib
 
         out = {}
         for k, sub in params.items():
+            fp = self._subtree_fingerprint(sub)
             cached = self._params_cache.get(k)
-            # Holding the source subtree keeps its identity from being
-            # reused by a new object after garbage collection.
-            if cached is not None and cached[0] is sub:
-                out[k] = cached[1]
+            # cached = (fingerprint, source subtree, on-mesh copy); holding
+            # the source keeps its jax.Array leaf ids from being reused.
+            if cached is not None and cached[0] == fp:
+                out[k] = cached[2]
                 continue
             try:
                 on_mesh = mesh_lib.replicate(self.mesh, sub)
             except Exception:  # cross-mesh transfer (multihost): hop via host
                 on_mesh = mesh_lib.replicate(self.mesh, jax.device_get(sub))
-            self._params_cache[k] = (sub, on_mesh)
+            self._params_cache[k] = (fp, sub, on_mesh)
             out[k] = on_mesh
         return out
 
@@ -297,6 +323,7 @@ class Evaluator:
                     is_training=False,
                     geometry_warmup=False,
                     cos_anneal_ratio=1.0,
+                    mesh=self.mesh,
                 )
                 return jnp.sum(jnp.abs(out.rgb - batch.rgb_gt)) / (bs + 1e-5)
 
