@@ -265,6 +265,30 @@ def test_eval_sharded_render_matches_unsharded(scene, run_dir):
         np.testing.assert_allclose(r1[k], r8[k], atol=2e-5, err_msg=k)
 
 
+def test_trainer_evaluation_only(scene, run_dir):
+    """--config.evaluation-only: resume the trained run, skip the training
+    loop entirely, dump the final mesh + evaluate all test views (reference
+    trainer.py:238-247 eval-only branch).  Runs after test_trainer_end_to_end
+    so checkpoints at steps 20/40 exist in the shared run dir."""
+    cfg = e2e_config(run_dir)
+    cfg = dataclasses.replace(cfg, evaluation_only=True)
+    trainer = Trainer(cfg, scene=scene)
+    assert trainer.global_step == 40  # resumed, not retrained
+    trainer.run()
+    assert trainer.global_step == 40  # no training happened
+
+    lines = [
+        json.loads(l)
+        for l in (trainer.log_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    val_logs = [l for l in lines if "val/psnr" in l]
+    assert val_logs and np.isfinite(val_logs[-1]["val/psnr"])
+    # is_final eval covers ALL test views (skip=1).
+    dump_dirs = sorted((trainer.log_dir / "test_views").glob("step_*"))
+    assert dump_dirs
+    assert (dump_dirs[-1] / "rgb_001.png").exists()
+
+
 def test_trainer_bg_nerf_end_to_end(scene, run_dir):
     """Training WITH the background NeRF on (the real-capture preset
     surface: use_outside_nerf=True + black background, reference
