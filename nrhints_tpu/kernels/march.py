@@ -301,6 +301,49 @@ def _importance_kernel(cfg, rounds, n_new, base_inv_s, n_weights):
     return kernel
 
 
+def _shadow_final_kernel(cfg, n_weights):
+    """Final-sweep half of the shadow march: refined z buffer -> tau.
+
+    Identical math to the tail of ``_shadow_kernel`` (section mids, dual
+    sdf+directional-derivative sweep, transmittance product) — split out so
+    the dual-stream MLP working set is the ONLY VMEM tenant, letting this
+    kernel (and the refinement, via ``fused_importance_z``) run larger ray
+    blocks than the monolithic kernel fits."""
+
+    def kernel(z_ref, o_ref, d_ref, sdist_ref, invs_ref, anneal_ref, *refs):
+        w_refs, (tau_ref,) = refs[:n_weights], refs[n_weights:]
+        weights = [r[:] for r in w_refs]
+        inv_s = invs_ref[0, 0]
+        cos_anneal = anneal_ref[0, 0]
+        o = o_ref[:]
+        d = d_ref[:]
+        z = z_ref[:]
+        br = z.shape[0]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (br, N_BUF), 1)
+        dists = jnp.where(
+            lane == N_BUF - 1, sdist_ref[:], _roll(z, -1, axis=1) - z
+        )
+        mid = z + dists * 0.5
+
+        pts = o[:, None, :] + d[:, None, :] * mid[..., None]  # [BR,128,3]
+        dirs = d[:, None, :] + pts * 0.0
+        sdf_f, dcos = _mlp_sdf_dirderiv_3d(pts, dirs, weights, cfg)
+        iter_cos = -(
+            jax.nn.relu(-dcos * 0.5 + 0.5) * (1.0 - cos_anneal)
+            + jax.nn.relu(-dcos) * cos_anneal
+        )
+        est_next = sdf_f + iter_cos * dists * 0.5
+        est_prev = sdf_f - iter_cos * dists * 0.5
+        pcdf = jax.nn.sigmoid(est_prev * inv_s)
+        ncdf = jax.nn.sigmoid(est_next * inv_s)
+        alpha = jnp.clip((pcdf - ncdf + 1e-5) / (pcdf + 1e-5), 0.0, 1.0)
+        logs = jnp.where(lane < N_BUF - 1, jnp.log(1.0 - alpha + 1e-7), 0.0)
+        tau_ref[:] = jnp.exp(jnp.sum(logs, axis=-1, keepdims=True))
+
+    return kernel
+
+
 def _shadow_kernel(cfg, rounds, n_new, base_inv_s, n_weights):
     def kernel(z0_ref, o_ref, d_ref, sdist_ref, invs_ref, anneal_ref, *refs):
         w_refs, (tau_ref,) = refs[:n_weights], refs[n_weights:]
@@ -434,7 +477,7 @@ def fused_importance_z(
     jax.jit,
     static_argnames=(
         "cfg", "rounds", "n_new", "base_inv_s", "block_rays", "interpret",
-        "mlp_dtype",
+        "mlp_dtype", "split", "refine_block_rays",
     ),
 )
 def fused_shadow_tau(
@@ -453,8 +496,15 @@ def fused_shadow_tau(
     block_rays: int = 16,
     interpret: bool = False,
     mlp_dtype: str = "float32",
+    split: bool = False,
+    refine_block_rays: int = 64,
 ) -> jnp.ndarray:
-    """Shadow rays -> final transmittance [B, 1] (initial sweep in-kernel)."""
+    """Shadow rays -> final transmittance [B, 1] (initial sweep in-kernel).
+
+    ``split=True`` runs the march as refinement kernel + final-sweep kernel
+    (identical math; each half fits larger ``block_rays`` than the monolith
+    — see _shadow_final_kernel).  ``block_rays`` then sizes the final sweep
+    and ``refine_block_rays`` the refinement."""
     if z0.shape[1] != N_BUF - rounds * n_new:
         raise ValueError(
             f"fused march needs z0 with {N_BUF - rounds * n_new} samples "
@@ -468,6 +518,44 @@ def fused_shadow_tau(
     n0 = z0.shape[1]
     inv_s_arr = jnp.asarray(inv_s, jnp.float32).reshape(1, 1)
     anneal_arr = jnp.asarray(cos_anneal_ratio, jnp.float32).reshape(1, 1)
+
+    if split:
+        # Two-kernel pipeline: refinement rides fused_importance_z (its
+        # refinement machinery is byte-identical — same rounds/n_new/
+        # base_inv_s schedule, reference get_visibility:373-432 reuses
+        # up_sample), the final dual-stream sweep gets its own kernel.
+        # Each half's VMEM working set is alone, so both fit larger ray
+        # blocks than the monolith; the interposed [B,128] z buffer is a
+        # 256 KB HBM round trip at batch 512 — noise.
+        z = fused_importance_z(
+            params, cfg, ray_o[:b], ray_d[:b], z0[:b],
+            rounds=rounds, n_new=n_new, base_inv_s=base_inv_s,
+            block_rays=refine_block_rays, interpret=interpret,
+            mlp_dtype=mlp_dtype,
+        )
+        (ray_o, ray_d, z, sample_dist), b, n_blocks = _pad_rays(
+            [ray_o[:b], ray_d[:b], z, sample_dist[:b]], block_rays
+        )
+        kernel = _shadow_final_kernel(cfg, len(weights))
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((block_rays, N_BUF), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rays, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                *w_specs,
+            ],
+            out_specs=pl.BlockSpec(
+                (block_rays, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_blocks * block_rays, 1), jnp.float32),
+            interpret=interpret,
+        )(z, ray_o, ray_d, sample_dist, inv_s_arr, anneal_arr, *weights)
+        return out[:b]
 
     kernel = _shadow_kernel(cfg, rounds, n_new, base_inv_s, len(weights))
     out = pl.pallas_call(

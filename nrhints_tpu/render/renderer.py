@@ -102,6 +102,13 @@ class RendererConfig:
     shadow_block_rays: int = 16
     """Per-grid-step ray blocks for the two march kernels (VMEM-bounded;
     measured optima in PROFILE.md "March-kernel block_rays sweep")."""
+    shadow_split: bool = False
+    """Run the shadow march as two kernels (refinement via the importance
+    kernel + a final-sweep kernel) instead of one monolith.  Each half's
+    VMEM working set stands alone, so both fit larger ray blocks;
+    ``shadow_block_rays`` then sizes the final sweep and
+    ``shadow_refine_block_rays`` the refinement."""
+    shadow_refine_block_rays: int = 64
 
 
 @dataclass(frozen=True)
@@ -347,6 +354,8 @@ def _shadow_transmittance(
                 block_rays=rcfg.shadow_block_rays,
                 interpret=rcfg.fused_interpret,
                 mlp_dtype=rcfg.march_dtype,
+                split=rcfg.shadow_split,
+                refine_block_rays=rcfg.shadow_refine_block_rays,
             )
 
         call = shard_rays_call(

@@ -90,6 +90,29 @@ def test_fused_shadow_matches_jnp_twin(setup):
     np.testing.assert_allclose(tau_k, tau_ref, atol=5e-3)
 
 
+def test_fused_shadow_split_matches_monolith(setup):
+    """Split (refinement + final-sweep kernels) vs the monolithic shadow
+    kernel on hardware — identical math, different blocking (the split
+    halves fit block sizes the monolith's VMEM cannot)."""
+    from nrhints_tpu.kernels.march import fused_shadow_tau
+
+    cfg, params, vparams, B, _, _ = setup
+    rng = np.random.default_rng(2)
+    pls = jnp.asarray(np.tile([[1.5, 2.0, 2.0]], (B, 1)).astype(np.float32))
+    tp = jnp.asarray(rng.normal(0, 0.3, (B, 3)).astype(np.float32))
+    d = tp - pls
+    light_norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ray_d = d / light_norm
+    z0 = jnp.linspace(0.0, 1.0, 64)[None, :] * light_norm * (1.0 - 1e-2)
+    args = (params, cfg, pls, ray_d, z0, light_norm / 64,
+            inv_s_from_params(vparams), 1.0)
+    tau_mono = np.asarray(fused_shadow_tau(*args))
+    tau_split = np.asarray(
+        fused_shadow_tau(*args, split=True, block_rays=32, refine_block_rays=64)
+    )
+    np.testing.assert_allclose(tau_split, tau_mono, atol=1e-5)
+
+
 def test_fused_render_matches_jnp_render(setup):
     """Full render with fused kernels on vs off: rgb should agree closely."""
     import dataclasses

@@ -199,6 +199,28 @@ def test_render_rays_fused_grads_match_unsharded(mesh, cfg_params):
         )
 
 
+def test_indivisible_batch_falls_back_unpartitioned(mesh, cfg_params):
+    """When the ray count doesn't divide the mesh, _ray_mesh falls back to
+    the unwrapped kernels (correct, just unpartitioned) instead of a
+    shard_map shape error."""
+    cfg, params = cfg_params
+    rays = make_rays(12, seed=5)  # 12 % 8 != 0
+    out = render_rays(
+        params, cfg, rays, background_rgb=jnp.zeros((1, 3)), mesh=mesh
+    )
+    rgb = np.asarray(out.rgb)
+    assert rgb.shape == (12, 3)
+    assert np.isfinite(rgb).all()
+
+    cfg_off = dataclasses.replace(
+        cfg, renderer=dataclasses.replace(cfg.renderer, fused_kernels="off")
+    )
+    rgb_ref = np.asarray(
+        render_rays(params, cfg_off, rays, background_rgb=jnp.zeros((1, 3))).rgb
+    )
+    np.testing.assert_allclose(rgb, rgb_ref, atol=5e-3)
+
+
 def _fused_system_config() -> SystemConfig:
     model = dataclasses.replace(
         flagship_tiny_config(),
