@@ -54,7 +54,10 @@ def phase_d():
     sdist = jnp.full((batch, 1), 2.0 / 64)
 
     results = {}
-    for fbr, rbr in ((16, 64), (32, 64), (32, 32), (64, 64), (16, 32)):
+    # (32,64)/(32,32)/(64,64) measured FAILED Mosaic compile 2026-08-20
+    # (final-sweep dual-stream activations exceed VMEM at block 32) —
+    # dropped from the sweep so reruns don't pay failing remote compiles.
+    for fbr, rbr in ((16, 64), (16, 32)):
         tag = f"shadow-split final={fbr} refine={rbr}"
         try:
             f = functools.partial(
@@ -71,23 +74,27 @@ def phase_d():
 
 
 def phase_b(split_results):
+    # NOTE: importance_block_rays=64 compiles in ISOLATION but exceeds the
+    # scoped-vmem stack limit by 780K inside the full train step (XLA
+    # co-schedules the custom call with surrounding fusions) — measured
+    # 2026-08-20, so it is not a step-level variant.
     from bench import _measure
 
     variants = {"defaults": {}}
-    variants["imp64"] = dict(importance_block_rays=64)
     best = min(((t, k) for k, t in split_results.items()), default=None)
-    split_cfg = {}
     if best is not None:
         _, (fbr, rbr) = best
-        split_cfg = dict(
+        variants["split"] = dict(
             shadow_split=True, shadow_block_rays=fbr, shadow_refine_block_rays=rbr
         )
-        variants["split"] = split_cfg
-        variants["imp64+split"] = dict(importance_block_rays=64, **split_cfg)
 
     step_results = {}
     for name, ov in variants.items():
-        r = _measure("auto", 512, 16, renderer_overrides=ov)
+        try:
+            r = _measure("auto", 512, 16, renderer_overrides=ov)
+        except Exception as e:  # noqa: BLE001
+            print(f"[B] step 512 {name:14s} FAILED {type(e).__name__}: {str(e)[:90]}", flush=True)
+            continue
         step_results[name] = (r, ov)
         print(f"[B] step 512 {name:14s} {r:10.0f} rays/s", flush=True)
     return step_results
@@ -102,7 +109,11 @@ def phase_c(step_results):
     print(f"[C] curve config = {best_name} {best_ov}", flush=True)
     for fused, ov in (("auto", best_ov), ("off", {})):
         for batch in (512, 1024, 2048, 4096):
-            r = _measure(fused, batch, 16, renderer_overrides=ov)
+            try:
+                r = _measure(fused, batch, 16, renderer_overrides=ov)
+            except Exception as e:  # noqa: BLE001
+                print(f"[C] fused={fused:4s} batch={batch:5d}  FAILED {type(e).__name__}: {str(e)[:90]}", flush=True)
+                continue
             mfu = r * FLAGSHIP_FLOPS_PER_RAY / 1e12 / TPU_V5E_BF16_PEAK_TFLOPS
             print(
                 f"[C] fused={fused:4s} batch={batch:5d}  {r:10.0f} rays/s"
