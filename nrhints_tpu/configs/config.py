@@ -32,7 +32,15 @@ class ParallelConfig:
     reference's parallelism is implicit in its DDP launcher)."""
 
     data_axis_size: int = -1
-    """Size of the 'data' mesh axis; -1 = all visible devices."""
+    """Size of the 'data' mesh axis; -1 = all visible devices (divided by
+    sample_axis_size when that is > 1)."""
+    sample_axis_size: int = 1
+    """Second mesh axis 'sample' sharding the shadow march's per-ray sample
+    dimension (renderer._shadow_transmittance_sample_sharded) — the
+    context-parallel analog of this workload (SURVEY.md §5.7).  Use > 1
+    only when the mesh is larger than the per-step ray count (the
+    reference-semantics constant 512-ray global batch on big slices);
+    otherwise pure ray-DP occupies every chip already and is cheaper."""
     scale_global_batch: bool = False
     """If True, global batch = batch_size * n_devices (the reference keeps
     the global batch constant regardless of world size; that is the

@@ -37,8 +37,28 @@ def initialize_multihost(
     )
 
 
-def make_mesh(data_axis_size: int = -1, devices=None) -> Mesh:
+def make_mesh(data_axis_size: int = -1, devices=None, sample_axis_size: int = 1) -> Mesh:
+    """1-D ``('data',)`` ray-DP mesh, or — with ``sample_axis_size > 1`` — a
+    2-D ``('data', 'sample')`` mesh whose second axis shards the per-ray
+    sample dimension of the shadow march (SURVEY.md §5.7's context-parallel
+    analog).  The 2-D mesh targets the constant-global-batch pod regime
+    (512 rays on >512 chips, the reference's semantics,
+    ``trainer/trainer.py:118`` in iamNCJ/NRHints): when the ray count cannot
+    cover the whole mesh, the march's MLP sweeps still can."""
     devices = list(jax.devices() if devices is None else devices)
+    if sample_axis_size > 1:
+        if data_axis_size == -1:
+            data_axis_size = len(devices) // sample_axis_size
+        n = data_axis_size * sample_axis_size
+        if n > len(devices) or data_axis_size < 1:
+            raise ValueError(
+                f"mesh {data_axis_size}x{sample_axis_size} > available devices "
+                f"{len(devices)}"
+            )
+        return Mesh(
+            np.asarray(devices[:n]).reshape(data_axis_size, sample_axis_size),
+            ("data", "sample"),
+        )
     if data_axis_size == -1:
         data_axis_size = len(devices)
     if data_axis_size > len(devices):

@@ -238,13 +238,33 @@ def _fused_shadow_compatible(rcfg: RendererConfig, sdf_cfg=None) -> bool:
     )
 
 
-def _ray_mesh(mesh, batch: int):
-    """The mesh to shard_map kernels over, or None.  Falls back to the
-    unwrapped call when the (static) batch doesn't divide the mesh — the
-    kernels then still run correctly, just without partitioning."""
-    if mesh is None or mesh.size <= 1 or batch % mesh.size:
-        return None
-    return mesh
+def _ray_shard(mesh, rows: int):
+    """(mesh, partition_spec, full_mesh) for sharding a per-ray (or
+    per-point) kernel call whose leading axis has ``rows`` entries.
+
+    Rows flatten-shard over ALL mesh axes when they divide the full mesh
+    (on a 2-D ``('data','sample')`` mesh the kernels are still purely
+    ray-parallel, so both axes serve as ray-DP).  When only the 'data'
+    extent divides, falls back to 'data'-only sharding (compute replicated
+    over 'sample').  ``(None, None, False)`` when no partitioning applies —
+    the unwrapped call then still runs correctly, just unpartitioned."""
+    if mesh is None or mesh.size <= 1:
+        return None, None, False
+    if rows % mesh.size == 0:
+        return mesh, P(tuple(mesh.axis_names)), True
+    if (
+        "data" in mesh.axis_names
+        and mesh.shape["data"] > 1
+        and rows % mesh.shape["data"] == 0
+    ):
+        return mesh, P("data"), False
+    return None, None, False
+
+
+def _sample_axis_size(mesh) -> int:
+    if mesh is None or "sample" not in getattr(mesh, "axis_names", ()):
+        return 1
+    return mesh.shape["sample"]
 
 
 def _importance_sample_z(params, cfg: ModelConfig, rays_o, rays_d, z_vals, mesh=None):
@@ -277,12 +297,14 @@ def _importance_sample_z(params, cfg: ModelConfig, rays_o, rays_d, z_vals, mesh=
                 mlp_dtype=rcfg.march_dtype,
             )
 
-        # Per-shard ray blocks under a mesh (see shard_rays_call).
+        # Per-shard ray blocks under a mesh (see shard_rays_call); rays
+        # flatten-shard over every mesh axis when they divide it.
+        m, spec, _ = _ray_shard(mesh, batch)
         call = shard_rays_call(
             call,
-            _ray_mesh(mesh, batch),
-            in_specs=(P(), P("data"), P("data"), P("data")),
-            out_specs=P("data"),
+            m,
+            in_specs=(P(), spec, spec, spec),
+            out_specs=spec,
         )
         # The kernel has no AD rules; this whole block is no-grad anyway,
         # so cut tangents at the inputs (not just the output).
@@ -338,7 +360,26 @@ def _shadow_transmittance(
 
     batch = z_vals.shape[0]
 
-    if _use_fused(rcfg) and _fused_shadow_compatible(rcfg, cfg.sdf_network):
+    march_mesh, march_spec, march_full = _ray_shard(mesh, batch)
+    k_sample = _sample_axis_size(mesh)
+    # Sample-axis sharding (SURVEY.md §5.7): usable when the 2-D mesh's
+    # 'sample' extent divides every per-round sample count and the march is
+    # no-grad (the shipping configuration; shadow_hint_gradient falls back).
+    sample_ok = (
+        k_sample > 1
+        and not rcfg.shadow_hint_gradient
+        and batch % mesh.shape["data"] == 0
+        and n % k_sample == 0
+        and (n_imp == 0 or up_steps == 0 or (n_imp // up_steps) % k_sample == 0)
+        and (n + n_imp) % k_sample == 0
+    )
+    fused_ok = _use_fused(rcfg) and _fused_shadow_compatible(rcfg, cfg.sdf_network)
+    # Prefer the fused kernels whenever they can occupy the WHOLE mesh; when
+    # the rays cannot cover a 2-D mesh (march_spec falls back to 'data',
+    # replicating the march over 'sample'), the sample-sharded jnp path uses
+    # every device instead — faster than a k-way-replicated kernel for any
+    # sample extent >= the fused win (~2x).
+    if fused_ok and (march_full or not sample_ok or mesh is None or mesh.size <= 1):
         from nrhints_tpu.kernels.march import fused_shadow_tau
 
         def call(p, o, d, z, sdist, invs, anneal):
@@ -360,9 +401,9 @@ def _shadow_transmittance(
 
         call = shard_rays_call(
             call,
-            _ray_mesh(mesh, batch),
-            in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P(), P()),
-            out_specs=P("data"),
+            march_mesh,
+            in_specs=(P(), march_spec, march_spec, march_spec, march_spec, P(), P()),
+            out_specs=march_spec,
         )
         # No AD rules in the kernel; the shadow hint is no-grad here
         # (_fused_shadow_compatible excludes shadow_hint_gradient=True), so
@@ -376,6 +417,11 @@ def _shadow_transmittance(
             sg(sample_dist),
             sg(inv_s_from_params(params["variance"])),
             sg(jnp.asarray(cos_anneal_ratio, jnp.float32)),
+        )
+
+    if sample_ok:
+        return _shadow_transmittance_sample_sharded(
+            params, cfg, ray_o, ray_d, z_vals, sample_dist, cos_anneal_ratio, mesh
         )
 
     def sdf_at(z):
@@ -409,6 +455,86 @@ def _shadow_transmittance(
     ).reshape(batch, n_total)
     taus = transmittance(alpha)
     return taus[..., -1:]
+
+
+def _shadow_transmittance_sample_sharded(
+    params, cfg: ModelConfig, ray_o, ray_d, z_vals, sample_dist, cos_anneal_ratio, mesh
+) -> jnp.ndarray:
+    """Shadow march with the per-ray sample axis sharded over 'sample'.
+
+    The context-parallel analog of this workload (SURVEY.md §5.7): rays
+    shard over 'data', samples over 'sample', so the march's MLP sweeps —
+    its entire cost — occupy every device of a mesh LARGER than the ray
+    count (the reference keeps the global batch at 512 rays regardless of
+    world size, ``trainer/trainer.py:118`` in iamNCJ/NRHints, so ray-DP
+    alone strands chips past 512-way).  Each refinement round evaluates the
+    SDF on a 1/k slice of the samples per device and all-gathers the tiny
+    [rays, S] value vector for the replicated CDF/merge bookkeeping; the
+    final sweep all-gathers per-slice alphas and reduces the transmittance
+    per ray.  Per-point math and gather order are identical to the
+    unsharded jnp path, so results match it exactly.
+    """
+    rcfg = cfg.renderer
+    n_imp = rcfg.n_shadow_importance_samples
+    up_steps = rcfg.up_sample_steps
+    k = _sample_axis_size(mesh)
+
+    def march(sdf_params, o, d, z, sdist, invs, anneal):
+        s_idx = jax.lax.axis_index("sample")
+        rays = z.shape[0]
+
+        def sdf_at(zq):
+            sl = zq.shape[-1] // k
+            zc = jax.lax.dynamic_slice_in_dim(zq, s_idx * sl, sl, axis=1)
+            pts = o[:, None, :] + d[:, None, :] * zc[..., :, None]
+            vals = sdf_only(sdf_params, cfg.sdf_network, pts.reshape(-1, 3))
+            return jax.lax.all_gather(
+                vals.reshape(rays, sl), "sample", axis=1, tiled=True
+            )
+
+        if n_imp > 0:
+            sdf = sdf_at(z)
+            for i in range(up_steps):
+                new_z = neus_up_sample(o, d, z, sdf, n_imp // up_steps, 64.0 * 2 ** i)
+                if i + 1 == up_steps:
+                    z, _ = merge_z_vals(z, new_z)
+                else:
+                    z, sdf = merge_z_vals(z, new_z, sdf, sdf_at(new_z))
+
+        n_total = z.shape[-1]
+        dists = jnp.concatenate([z[..., 1:] - z[..., :-1], sdist], axis=-1)
+        mid_z = z + dists * 0.5
+        sl = n_total // k
+        mid_c = jax.lax.dynamic_slice_in_dim(mid_z, s_idx * sl, sl, axis=1)
+        dists_c = jax.lax.dynamic_slice_in_dim(dists, s_idx * sl, sl, axis=1)
+        pts = (o[:, None, :] + d[:, None, :] * mid_c[..., :, None]).reshape(-1, 3)
+        dirs = jnp.broadcast_to(d[:, None, :], (rays, sl, 3)).reshape(-1, 3)
+        sdf_v, dcos = sdf_value_and_dirderiv(sdf_params, cfg.sdf_network, pts, dirs)
+        alpha_c = _neus_alpha_from_cos(
+            sdf_v, dcos, dists_c.reshape(-1), invs, anneal
+        ).reshape(rays, sl)
+        alpha = jax.lax.all_gather(alpha_c, "sample", axis=1, tiled=True)
+        return transmittance(alpha)[..., -1:]
+
+    march = jax.shard_map(
+        march,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P(), P()),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    # The sharded march is no-grad by construction (sample_ok excludes
+    # shadow_hint_gradient); cut tangents at every input like the fused path.
+    sg = jax.lax.stop_gradient
+    return march(
+        sg(params["sdf"]),
+        sg(ray_o),
+        sg(ray_d),
+        sg(z_vals),
+        sg(sample_dist),
+        sg(inv_s_from_params(params["variance"])),
+        sg(jnp.asarray(cos_anneal_ratio, jnp.float32)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -520,7 +646,10 @@ def render_rays(
     pls_flat = pls_b.reshape(-1, 3)
 
     use_fused_core = _use_fused(rcfg) and cfg.sdf_network.encoding == "frequency"
-    core_mesh = _ray_mesh(mesh, batch)
+    # The core ops are pointwise over the flattened [B*S] axis, so they can
+    # flatten-shard over every mesh axis even when the ray count alone
+    # cannot cover a 2-D mesh (B*S has 128x more rows).
+    core_mesh, core_spec, _ = _ray_shard(mesh, batch * n_total)
     if use_fused_core:
         # Fused Pallas core: value + feature + analytic gradient in VMEM,
         # with a recompute-in-kernel custom VJP (the XLA path spills every
@@ -538,8 +667,8 @@ def render_rays(
         sdf_call = shard_rays_call(
             sdf_call,
             core_mesh,
-            in_specs=(P(), P("data")),
-            out_specs=(P("data"), P("data"), P("data")),
+            in_specs=(P(), core_spec),
+            out_specs=(core_spec, core_spec, core_spec),
         )
         sdf, feat, grads = sdf_call(params["sdf"], pts_flat)
     else:
@@ -669,8 +798,8 @@ def render_rays(
         color_call = shard_rays_call(
             color_call,
             core_mesh,
-            in_specs=(P(),) + (P("data"),) * len(live_args),
-            out_specs=P("data"),
+            in_specs=(P(),) + (core_spec,) * len(live_args),
+            out_specs=core_spec,
         )
         sampled_color = color_call(params["color"], *live_args)
     else:

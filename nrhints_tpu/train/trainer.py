@@ -49,10 +49,14 @@ class Trainer:
         self.process_index = jax.process_index()
         self.process_count = jax.process_count()
 
-        # Device mesh for ray data-parallelism.
+        # Device mesh: ray data-parallelism, optionally x sample-parallelism
+        # for the shadow march (ParallelConfig.sample_axis_size).
         n_dev = len(jax.devices())
         axis = config.parallel.data_axis_size
-        self.mesh = mesh_lib.make_mesh(axis if axis != -1 else n_dev)
+        samp = config.parallel.sample_axis_size
+        if axis == -1:
+            axis = n_dev // samp if samp > 1 else n_dev
+        self.mesh = mesh_lib.make_mesh(axis, sample_axis_size=samp)
 
         # Run dir + config dump + logger.
         self.log_dir = (
