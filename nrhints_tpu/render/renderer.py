@@ -282,7 +282,19 @@ def _importance_sample_z(params, cfg: ModelConfig, rays_o, rays_d, z_vals, mesh=
             batch, z.shape[-1]
         )
 
-    if _use_fused(rcfg) and _fused_march_compatible(rcfg, cfg.sdf_network):
+    march_mesh, march_spec, march_full = _ray_shard(mesh, batch)
+    k_sample = _sample_axis_size(mesh)
+    sample_ok = (
+        k_sample > 1
+        and batch % mesh.shape["data"] == 0
+        and z_vals.shape[-1] % k_sample == 0
+        and (rcfg.up_sample_steps == 0 or n_per_round % k_sample == 0)
+    )
+    fused_ok = _use_fused(rcfg) and _fused_march_compatible(rcfg, cfg.sdf_network)
+    # Same preference order as the shadow march: fused kernels when they can
+    # occupy the whole mesh, else the sample-sharded jnp march over every
+    # device rather than a 'sample'-replicated kernel.
+    if fused_ok and (march_full or not sample_ok or mesh is None or mesh.size <= 1):
         from nrhints_tpu.kernels.march import fused_importance_z
 
         def call(p, o, d, z):
@@ -299,17 +311,19 @@ def _importance_sample_z(params, cfg: ModelConfig, rays_o, rays_d, z_vals, mesh=
 
         # Per-shard ray blocks under a mesh (see shard_rays_call); rays
         # flatten-shard over every mesh axis when they divide it.
-        m, spec, _ = _ray_shard(mesh, batch)
         call = shard_rays_call(
             call,
-            m,
-            in_specs=(P(), spec, spec, spec),
-            out_specs=spec,
+            march_mesh,
+            in_specs=(P(), march_spec, march_spec, march_spec),
+            out_specs=march_spec,
         )
         # The kernel has no AD rules; this whole block is no-grad anyway,
         # so cut tangents at the inputs (not just the output).
         sg = jax.lax.stop_gradient
         return call(sg(params["sdf"]), sg(rays_o), sg(rays_d), sg(z_vals))
+
+    if sample_ok:
+        return _importance_z_sample_sharded(params, cfg, rays_o, rays_d, z_vals, mesh)
 
     sdf = sdf_at(z_vals)
     for i in range(rcfg.up_sample_steps):
@@ -323,6 +337,49 @@ def _importance_sample_z(params, cfg: ModelConfig, rays_o, rays_d, z_vals, mesh=
             new_sdf = sdf_at(new_z)
             z_vals, sdf = merge_z_vals(z_vals, new_z, sdf, new_sdf)
     return jax.lax.stop_gradient(z_vals)
+
+
+def _importance_z_sample_sharded(params, cfg: ModelConfig, rays_o, rays_d, z_vals, mesh):
+    """Importance up-sampling with the sample axis sharded over 'sample' —
+    the same construction as ``_shadow_transmittance_sample_sharded`` (each
+    round's SDF sweep runs on a 1/k sample slice per device; the tiny
+    [rays, S] value vectors are all-gathered for the replicated CDF/merge
+    bookkeeping).  No-grad like the unsharded march."""
+    rcfg = cfg.renderer
+    k = _sample_axis_size(mesh)
+    n_per_round = rcfg.n_importance_samples // rcfg.up_sample_steps
+
+    def march(sdf_params, o, d, z):
+        s_idx = jax.lax.axis_index("sample")
+        rays = z.shape[0]
+
+        def sdf_at(zq):
+            sl = zq.shape[-1] // k
+            zc = jax.lax.dynamic_slice_in_dim(zq, s_idx * sl, sl, axis=1)
+            pts = o[:, None, :] + d[:, None, :] * zc[..., :, None]
+            vals = sdf_only(sdf_params, cfg.sdf_network, pts.reshape(-1, 3))
+            return jax.lax.all_gather(
+                vals.reshape(rays, sl), "sample", axis=1, tiled=True
+            )
+
+        sdf = sdf_at(z)
+        for i in range(rcfg.up_sample_steps):
+            new_z = neus_up_sample(o, d, z, sdf, n_per_round, 64.0 * 2 ** i)
+            if i + 1 == rcfg.up_sample_steps:
+                z, _ = merge_z_vals(z, new_z)
+            else:
+                z, sdf = merge_z_vals(z, new_z, sdf, sdf_at(new_z))
+        return z
+
+    march = jax.shard_map(
+        march,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    sg = jax.lax.stop_gradient
+    return march(sg(params["sdf"]), sg(rays_o), sg(rays_d), sg(z_vals))
 
 
 # ---------------------------------------------------------------------------
