@@ -140,8 +140,9 @@ def main() -> None:
         fused_off = round(_measure("off", batch, steps_per_dispatch) / n_dev, 1)
 
     # Occupancy point: the same step at 4096 rays/chip (PROFILE.md
-    # "Occupancy curve" — per-chip throughput rises with batch; this is the
-    # scale-global-batch recipe's operating point, persisted per round).
+    # "Occupancy curve": the fused step measured FLAT from 512 to 4096 —
+    # 512 rays/chip already saturates the device — so this point documents
+    # the curve's far end each round rather than a hoped-for gain).
     value_at_4096 = mfu_at_4096 = None
     if os.environ.get("NRHINTS_BENCH_SKIP_4096") != "1":
         at4096 = _measure("auto", 4096, steps_per_dispatch) / n_dev
