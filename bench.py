@@ -151,6 +151,14 @@ def main() -> None:
             at4096 * FLAGSHIP_FLOPS_PER_RAY / 1e12 / TPU_V5E_BF16_PEAK_TFLOPS, 4
         )
 
+    # The curve's near end: 64 rays/chip = the reference-semantics constant
+    # 512-global batch split over a v5e-8.  value_at_64 / value is the
+    # measured weak-scaling efficiency of that regime (92% in round 3,
+    # PROFILE.md "Occupancy curve").
+    value_at_64 = None
+    if os.environ.get("NRHINTS_BENCH_SKIP_64") != "1":
+        value_at_64 = round(_measure("auto", 64, steps_per_dispatch) / n_dev, 1)
+
     dev = jax.devices()[0]
     achieved_tflops = per_chip * FLAGSHIP_FLOPS_PER_RAY / 1e12
     print(
@@ -163,6 +171,7 @@ def main() -> None:
                 "fused_off_value": fused_off,
                 "value_at_4096": value_at_4096,
                 "mfu_at_4096": mfu_at_4096,
+                "value_at_64": value_at_64,
                 "flops_per_ray": FLAGSHIP_FLOPS_PER_RAY,
                 "achieved_tflops": round(achieved_tflops, 2),
                 "mfu_bf16_peak": round(achieved_tflops / TPU_V5E_BF16_PEAK_TFLOPS, 4),

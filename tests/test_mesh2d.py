@@ -164,6 +164,32 @@ def test_render_rays_2d_mesh_fused_small_batch(mesh2d):
     np.testing.assert_allclose(rgb, rgb_ref, atol=5e-3)
 
 
+def test_trainer_with_sample_axis(tmp_path):
+    """Config plumbing: parallel.sample_axis_size=2 builds the 2-D mesh and
+    the full Trainer (train loop + final eval with its flattened per-host
+    eval mesh) runs on it end-to-end."""
+    import json
+
+    from nrhints_tpu.configs.config import ParallelConfig
+    from nrhints_tpu.train.trainer import Trainer
+    from tests.test_trainer_e2e import e2e_config
+
+    scene = parse_load_nr_data(make_synthetic_scene(tmp_path / "scene"))
+    cfg = e2e_config(tmp_path / "runs", end_iter=10)
+    cfg = dataclasses.replace(cfg, parallel=ParallelConfig(sample_axis_size=2))
+    trainer = Trainer(cfg, scene=scene)
+    assert trainer.mesh.axis_names == ("data", "sample")
+    assert trainer.mesh.shape["data"] == 4 and trainer.mesh.shape["sample"] == 2
+    trainer.run()
+    assert trainer.global_step == 10
+    lines = [
+        json.loads(l)
+        for l in (trainer.log_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+    train_logs = [l for l in lines if "loss" in l]
+    assert train_logs and all(np.isfinite(l["loss"]) for l in train_logs)
+
+
 def test_train_step_2d_mesh_matches_single_device(mesh2d, tmp_path):
     """Full jnp train step on the 2-D mesh (sample-sharded shadow inside the
     grad graph) reproduces the 1-device update."""
