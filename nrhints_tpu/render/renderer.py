@@ -102,13 +102,15 @@ class RendererConfig:
     shadow_block_rays: int = 16
     """Per-grid-step ray blocks for the two march kernels (VMEM-bounded;
     measured optima in PROFILE.md "March-kernel block_rays sweep")."""
-    shadow_split: bool = False
+    shadow_split: bool = True
     """Run the shadow march as two kernels (refinement via the importance
     kernel + a final-sweep kernel) instead of one monolith.  Each half's
     VMEM working set stands alone, so both fit larger ray blocks;
     ``shadow_block_rays`` then sizes the final sweep and
-    ``shadow_refine_block_rays`` the refinement."""
-    shadow_refine_block_rays: int = 64
+    ``shadow_refine_block_rays`` the refinement.  Shipping default since
+    round 3: the split step measures 15.62 ms vs the 16.06 ms monolith at
+    512 rays (PROFILE.md "Split shadow march in-step")."""
+    shadow_refine_block_rays: int = 32
 
 
 @dataclass(frozen=True)
