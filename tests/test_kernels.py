@@ -107,8 +107,12 @@ def test_fused_shadow_split_matches_monolith(setup):
     args = (params, cfg, pls, ray_d, z0, light_norm / 64,
             inv_s_from_params(vparams), 1.0)
     tau_mono = np.asarray(fused_shadow_tau(*args))
+    # Shipping block sizes (PROFILE.md "Split shadow march"): the final
+    # sweep's VMEM ceiling is block 16 — block 32 fails the Mosaic compile
+    # (dual-stream [BR*128, 256] activations), which this test originally
+    # used and which the round-3 hardware run caught.
     tau_split = np.asarray(
-        fused_shadow_tau(*args, split=True, block_rays=32, refine_block_rays=64)
+        fused_shadow_tau(*args, split=True, block_rays=16, refine_block_rays=32)
     )
     np.testing.assert_allclose(tau_split, tau_mono, atol=1e-5)
 
