@@ -20,6 +20,17 @@ bracket and derivation live in BASELINE.md §"A100 baseline derivation"
 published NeuS-class timings; plausible range ~5k-20k rays/s, 10k kept as
 the round-1 midpoint so vs_baseline stays comparable across rounds).
 The north-star target is vs_baseline >= 3.0.
+
+Output protocol (round 4 — BENCH_r03.json was an rc=124 timeout because
+the old structure measured FOUR fresh-jit configurations before printing
+anything): the HEADLINE JSON line (auto@512, the shipping path) is printed
+and flushed IMMEDIATELY after the first measurement.  The secondary points
+(fused_off@512, auto@64, auto@4096) then run best-effort under an explicit
+wall-clock budget (env NRHINTS_BENCH_BUDGET_S, default 900 s measured from
+process start; each point also honors its NRHINTS_BENCH_SKIP_* switch);
+if any complete, a SECOND full JSON line — same headline fields plus the
+extras — is appended, so a parser reading either the first or the last
+JSON line always sees the headline metric.
 """
 from __future__ import annotations
 
@@ -118,6 +129,9 @@ def _measure(
 
 
 def main() -> None:
+    t_start = time.monotonic()
+    budget_s = float(os.environ.get("NRHINTS_BENCH_BUDGET_S", "900"))
+
     import jax
 
     from nrhints_tpu.utils import enable_compilation_cache
@@ -135,53 +149,58 @@ def main() -> None:
     rays_per_sec = _measure("auto", batch, steps_per_dispatch)
     per_chip = rays_per_sec / n_dev
 
-    fused_off = None
-    if os.environ.get("NRHINTS_BENCH_SKIP_FUSED_OFF") != "1":
-        fused_off = round(_measure("off", batch, steps_per_dispatch) / n_dev, 1)
+    dev = jax.devices()[0]
+    achieved_tflops = per_chip * FLAGSHIP_FLOPS_PER_RAY / 1e12
+    record = {
+        "metric": "train_step_rays_per_sec_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "rays/s/chip (fwd+bwd+adam, full NRHints config)",
+        "vs_baseline": round(per_chip / A100_REFERENCE_RAYS_PER_SEC, 3),
+        "flops_per_ray": FLAGSHIP_FLOPS_PER_RAY,
+        "achieved_tflops": round(achieved_tflops, 2),
+        "mfu_bf16_peak": round(achieved_tflops / TPU_V5E_BF16_PEAK_TFLOPS, 4),
+        "steps_per_dispatch": steps_per_dispatch,
+        "jax_version": jax.__version__,
+        "device_kind": dev.device_kind,
+        "platform": dev.platform,
+    }
+    # The headline goes out NOW so it survives a harness timeout of the
+    # best-effort points below (BENCH_r03.json lesson).
+    print(json.dumps(record), flush=True)
 
-    # Occupancy point: the same step at 4096 rays/chip (PROFILE.md
+    def in_budget() -> bool:
+        return time.monotonic() - t_start < budget_s
+
+    extras: dict = {}
+    if os.environ.get("NRHINTS_BENCH_SKIP_FUSED_OFF") != "1" and in_budget():
+        extras["fused_off_value"] = round(
+            _measure("off", batch, steps_per_dispatch) / n_dev, 1
+        )
+
+    # The occupancy curve's near end: 64 rays/chip = the reference-semantics
+    # constant 512-global batch split over a v5e-8.  value_at_64 / value is
+    # the measured single-chip weak-scaling projection for that regime (92%
+    # in round 3, PROFILE.md "Occupancy curve").
+    if os.environ.get("NRHINTS_BENCH_SKIP_64") != "1" and in_budget():
+        extras["value_at_64"] = round(
+            _measure("auto", 64, steps_per_dispatch) / n_dev, 1
+        )
+
+    # The curve's far end: the same step at 4096 rays/chip (PROFILE.md
     # "Occupancy curve": the fused step measured FLAT from 512 to 4096 —
     # 512 rays/chip already saturates the device — so this point documents
     # the curve's far end each round rather than a hoped-for gain).
-    value_at_4096 = mfu_at_4096 = None
-    if os.environ.get("NRHINTS_BENCH_SKIP_4096") != "1":
+    if os.environ.get("NRHINTS_BENCH_SKIP_4096") != "1" and in_budget():
         at4096 = _measure("auto", 4096, steps_per_dispatch) / n_dev
-        value_at_4096 = round(at4096, 1)
-        mfu_at_4096 = round(
+        extras["value_at_4096"] = round(at4096, 1)
+        extras["mfu_at_4096"] = round(
             at4096 * FLAGSHIP_FLOPS_PER_RAY / 1e12 / TPU_V5E_BF16_PEAK_TFLOPS, 4
         )
 
-    # The curve's near end: 64 rays/chip = the reference-semantics constant
-    # 512-global batch split over a v5e-8.  value_at_64 / value is the
-    # measured weak-scaling efficiency of that regime (92% in round 3,
-    # PROFILE.md "Occupancy curve").
-    value_at_64 = None
-    if os.environ.get("NRHINTS_BENCH_SKIP_64") != "1":
-        value_at_64 = round(_measure("auto", 64, steps_per_dispatch) / n_dev, 1)
-
-    dev = jax.devices()[0]
-    achieved_tflops = per_chip * FLAGSHIP_FLOPS_PER_RAY / 1e12
-    print(
-        json.dumps(
-            {
-                "metric": "train_step_rays_per_sec_per_chip",
-                "value": round(per_chip, 1),
-                "unit": "rays/s/chip (fwd+bwd+adam, full NRHints config)",
-                "vs_baseline": round(per_chip / A100_REFERENCE_RAYS_PER_SEC, 3),
-                "fused_off_value": fused_off,
-                "value_at_4096": value_at_4096,
-                "mfu_at_4096": mfu_at_4096,
-                "value_at_64": value_at_64,
-                "flops_per_ray": FLAGSHIP_FLOPS_PER_RAY,
-                "achieved_tflops": round(achieved_tflops, 2),
-                "mfu_bf16_peak": round(achieved_tflops / TPU_V5E_BF16_PEAK_TFLOPS, 4),
-                "steps_per_dispatch": steps_per_dispatch,
-                "jax_version": jax.__version__,
-                "device_kind": dev.device_kind,
-                "platform": dev.platform,
-            }
-        )
-    )
+    if extras:
+        # Full record again (headline fields + extras): a parser that reads
+        # the LAST json line still sees the headline metric.
+        print(json.dumps({**record, **extras}), flush=True)
 
 
 if __name__ == "__main__":
