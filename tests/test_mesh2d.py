@@ -114,6 +114,7 @@ def test_sample_sharded_importance_matches_unsharded(mesh2d, cfg_params_off):
     assert np.abs(z - z_ref).mean() < 5e-3
 
 
+@pytest.mark.slow
 def test_render_rays_2d_mesh_jnp_matches_unsharded(mesh2d, cfg_params_off):
     cfg, params = cfg_params_off
     rays = make_rays(12, seed=4)
@@ -144,6 +145,7 @@ def test_render_rays_2d_mesh_fused_flatten_shards(mesh2d):
     )
 
 
+@pytest.mark.slow
 def test_render_rays_2d_mesh_fused_small_batch(mesh2d):
     """Batch covers only 'data': BOTH marches switch to their sample-sharded
     jnp paths (full-mesh occupancy instead of a 'sample'-replicated kernel);
@@ -188,6 +190,57 @@ def test_trainer_with_sample_axis(tmp_path):
     ]
     train_logs = [l for l in lines if "loss" in l]
     assert train_logs and all(np.isfinite(l["loss"]) for l in train_logs)
+
+
+@pytest.mark.slow
+def test_train_step_2d_mesh_fused_matches_single_device(mesh2d, tmp_path):
+    """FUSED-path (interpret) train step on the 2-D mesh with the batch
+    divisible by the FULL mesh (16 % 8 == 0, so the fused kernels
+    flatten-shard over both axes): the custom-VJP backward psum over
+    ('data','sample') must reproduce the 1-device update.  (Advisor r3:
+    the jnp variant below left the fused 2-D backward smoke-tested only.)"""
+    from nrhints_tpu.camera.rays import ray_generator_init
+
+    scene = parse_load_nr_data(make_synthetic_scene(tmp_path / "scene"))
+    model = dataclasses.replace(
+        flagship_tiny_config(),  # fused on, interpret mode
+        batch_size=16,
+        warm_up_end=10,
+        end_iter=100,
+        anneal_end=50,
+    )
+    cfg = SystemConfig(model=model)
+    dm = DataManager(scene, batch_size=cfg.model.batch_size)
+    batch_np = dm.next_train_batch()
+    key = jax.random.PRNGKey(7)
+
+    def setup(m):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        params = {
+            "renderer": init_model_params(k1, cfg.model),
+            "raygen": ray_generator_init(k2, cfg.ray_generator, scene.total_image_num)[0],
+        }
+        buffers = ray_generator_init(k2, cfg.ray_generator, scene.total_image_num)[1]
+        opt = make_optimizer(cfg)
+        state = init_train_state(params, opt)
+        if m is not None:
+            state = mesh_lib.replicate(m, state)
+            buffers = mesh_lib.replicate(m, buffers)
+        return state, buffers, opt
+
+    state1, buffers1, opt1 = setup(None)
+    step1 = make_train_step(cfg, scene.camera, buffers1, opt1, donate=False)
+    s1, m1 = step1(state1, jax.device_put(batch_np), key)
+
+    state2, buffers2, opt2 = setup(mesh2d)
+    step2 = make_train_step(cfg, scene.camera, buffers2, opt2, donate=False, mesh=mesh2d)
+    s2, m2 = step2(state2, mesh_lib.shard_batch(mesh2d, batch_np), key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
 def test_train_step_2d_mesh_matches_single_device(mesh2d, tmp_path):

@@ -35,6 +35,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_trainer_end_to_end(tmp_path):
     scene_dir = make_synthetic_scene(tmp_path / "scene")
     run_dir = tmp_path / "runs"

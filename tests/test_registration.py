@@ -55,6 +55,7 @@ def _residual(adjust_row: np.ndarray, D_noise: np.ndarray) -> float:
     return float(np.linalg.norm(r - np.eye(3)) + np.linalg.norm(t))
 
 
+@pytest.mark.slow
 def test_register_view_recovers_perturbed_pose(tmp_path):
     scene = parse_load_nr_data(make_synthetic_scene(tmp_path / "scene", n_train=10))
     cfg = SystemConfig(

@@ -75,6 +75,7 @@ def _setup(cfg, scene, mesh=None):
     return state, buffers, opt
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(scene):
     cfg = tiny_system_config()
     state, buffers, opt = _setup(cfg, scene)
@@ -144,6 +145,7 @@ def test_geometry_warmup_step_variant(scene):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_train_step_scan_matches_single_steps(scene):
     """K steps in one lax.scan dispatch must reproduce K single-step
     dispatches exactly (same batches, same per-step folded keys)."""
@@ -174,6 +176,7 @@ def test_train_step_scan_matches_single_steps(scene):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_donated_step_matches_undonated(scene):
     """Production jits with donate_argnums=(0,) while the equivalence tests
     above construct donate=False steps — this closes that gap (SURVEY §5.2:
@@ -232,6 +235,7 @@ def test_train_key_stream_host_invariant(scene):
     np.testing.assert_array_equal(k_chunk, np.stack(steps[2:4]))
 
 
+@pytest.mark.slow
 def test_scaled_batch_lr_rule(scene):
     """scale_global_batch recipe (BASELINE.md §"Scaling plan"): at equal
     rays-seen, an 8x batch with linear lr compensation must track the

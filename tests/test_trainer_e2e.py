@@ -117,6 +117,7 @@ def test_trainer_video_render(scene, run_dir):
     assert len(pngs) == 4  # two clips x two frames
 
 
+@pytest.mark.slow
 def test_trainer_steps_per_dispatch(scene, run_dir):
     """K-step scan dispatch end-to-end: same hooks fire, checkpoints land
     on the crossing boundaries, training state reaches end_iter."""
@@ -289,6 +290,7 @@ def test_trainer_evaluation_only(scene, run_dir):
     assert (dump_dirs[-1] / "rgb_001.png").exists()
 
 
+@pytest.mark.slow
 def test_trainer_bg_nerf_end_to_end(scene, run_dir):
     """Training WITH the background NeRF on (the real-capture preset
     surface: use_outside_nerf=True + black background, reference
