@@ -10,6 +10,7 @@ there is no hand-written collective anywhere.
 """
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 import jax
@@ -49,6 +50,15 @@ def make_mesh(data_axis_size: int = -1, devices=None, sample_axis_size: int = 1)
     if sample_axis_size > 1:
         if data_axis_size == -1:
             data_axis_size = len(devices) // sample_axis_size
+            dropped = len(devices) - data_axis_size * sample_axis_size
+            if dropped:
+                warnings.warn(
+                    f"make_mesh: {len(devices)} devices do not divide by "
+                    f"sample_axis_size={sample_axis_size}; building a "
+                    f"{data_axis_size}x{sample_axis_size} mesh and leaving "
+                    f"{dropped} device(s) idle",
+                    stacklevel=2,
+                )
         n = data_axis_size * sample_axis_size
         if n > len(devices) or data_axis_size < 1:
             raise ValueError(

@@ -51,12 +51,12 @@ class Trainer:
 
         # Device mesh: ray data-parallelism, optionally x sample-parallelism
         # for the shadow march (ParallelConfig.sample_axis_size).
-        n_dev = len(jax.devices())
-        axis = config.parallel.data_axis_size
-        samp = config.parallel.sample_axis_size
-        if axis == -1:
-            axis = n_dev // samp if samp > 1 else n_dev
-        self.mesh = mesh_lib.make_mesh(axis, sample_axis_size=samp)
+        # (-1 passes through so make_mesh owns the divisibility warning when
+        # devices don't divide by sample_axis_size.)
+        self.mesh = mesh_lib.make_mesh(
+            config.parallel.data_axis_size,
+            sample_axis_size=config.parallel.sample_axis_size,
+        )
 
         # Run dir + config dump + logger.
         self.log_dir = (
@@ -93,7 +93,7 @@ class Trainer:
         # trainer.py:118) unless scale_global_batch is set.
         global_batch = config.model.batch_size
         if config.parallel.scale_global_batch:
-            global_batch *= n_dev
+            global_batch *= len(jax.devices())
         if global_batch % self.process_count:
             raise ValueError(
                 f"global batch size ({global_batch}) must be divisible by "
