@@ -340,10 +340,16 @@ def fused_sdf_value_feat_grad(
     block_pts_bwd: int = 128,
     interpret: bool = False,
     compute_dtype: str = "bfloat16",
+    backward: str = "recompute",
 ):
     """Drop-in fused replacement for ``sdf_value_feat_grad`` (frequency
     encoding only) -> (sdf [N], feat [N, F], grad [N, 3]).  Differentiable
-    wrt ``params`` and ``x`` (custom VJP; backward is a recompute kernel).
+    wrt ``params`` and ``x`` (custom VJP).
+
+    ``backward`` selects the VJP schedule: "recompute" (re-run the primal
+    in-kernel) or "stash" (read activations stashed by the forward —
+    kernels/core_stash.py; fewer backward matmul passes, one extra HBM
+    round trip).
 
     ``compute_dtype="bfloat16"`` rounds the DOT OPERANDS only (f32
     accumulation and activations) — the same semantics XLA:TPU applies to
@@ -351,6 +357,14 @@ def fused_sdf_value_feat_grad(
     XLA path's effective precision while running the MXU at full rate.
     Pass "float32" for exact-f32 dots (e.g. interpret-mode twin tests)."""
     cdt = compute_dtype
+    if backward == "stash":
+        from nrhints_tpu.kernels.core_stash import fused_sdf_value_feat_grad_stash
+
+        return fused_sdf_value_feat_grad_stash(
+            params, cfg, x,
+            block_pts=block_pts, block_pts_bwd=block_pts_bwd,
+            interpret=interpret, compute_dtype=cdt,
+        )
     weights = materialize_sdf_weights_full(params, cfg)
     opts = (cfg, block_pts, block_pts_bwd, interpret, cdt)
     sdf, feat, gx = _sdf_core_op(opts, weights, x)
@@ -466,9 +480,18 @@ def fused_mlp_apply(
     block_pts_bwd: int = 256,
     interpret: bool = False,
     compute_dtype: str = "bfloat16",
+    backward: str = "recompute",
 ) -> jnp.ndarray:
     """Fused weight-norm ReLU MLP with linear final layer on pre-encoded
     inputs -> [N, d_out] raw logits (apply the squeeze outside)."""
+    if backward == "stash":
+        from nrhints_tpu.kernels.core_stash import fused_mlp_apply_stash
+
+        return fused_mlp_apply_stash(
+            params, n_layers, x,
+            block_pts=block_pts, block_pts_bwd=block_pts_bwd,
+            interpret=interpret, compute_dtype=compute_dtype,
+        )
     weights = materialize_mlp_weights(params, n_layers)
     opts = (n_layers, block_pts, block_pts_bwd, interpret, compute_dtype)
     return _mlp_op(opts, weights, x)
@@ -486,13 +509,21 @@ def fused_reflectance_forward(
     specular_cue: jnp.ndarray | None = None,
     *,
     block_pts: int = 512,
-    block_pts_bwd: int = 256,
+    block_pts_bwd: int | None = None,
     interpret: bool = False,
     compute_dtype: str = "bfloat16",
+    backward: str = "recompute",
 ) -> jnp.ndarray:
     """Drop-in fused replacement for ``reflectance_forward``: the (cheap)
     frequency encodings + concat run in XLA and fuse with the upstream
-    graph; the 4x256 trunk runs as the Pallas custom-VJP op."""
+    graph; the 4x256 trunk runs as the Pallas custom-VJP op.
+
+    ``block_pts_bwd=None`` resolves per backward schedule: 512 for "stash"
+    (no recompute working set — measured optimum 3.15 vs 3.58 ms at 256),
+    256 for "recompute" (3.51 vs 3.61 ms at 512).  PROFILE.md "Core
+    backward schedule"."""
+    if block_pts_bwd is None:
+        block_pts_bwd = 512 if backward == "stash" else 256
     from nrhints_tpu.core.encodings import nerf_encoding
 
     view_enc = nerf_encoding(view_dirs, cfg.multi_res, include_input=True)
@@ -511,6 +542,7 @@ def fused_reflectance_forward(
         block_pts_bwd=block_pts_bwd,
         interpret=interpret,
         compute_dtype=compute_dtype,
+        backward=backward,
     )
     if cfg.squeeze_out:
         out = jax.nn.sigmoid(out)

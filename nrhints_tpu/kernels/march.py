@@ -188,6 +188,78 @@ def _onehot_gather(values, inds):
     return jnp.sum(onehot * values[:, None, :], axis=-1)
 
 
+def _onehot_gather_many(value_list, inds):
+    """Gather several [BR, N] value tensors at one shared [BR, K] index set,
+    building the (expensive [BR, K, N]) one-hot mask ONCE."""
+    n = value_list[0].shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (*inds.shape, n), inds.ndim)
+    onehot = (lane == inds[..., None]).astype(value_list[0].dtype)
+    return [jnp.sum(onehot * v[:, None, :], axis=-1) for v in value_list]
+
+
+def _rank_merge(z, payload, n_new: int):
+    """Merge [BR, 128] = [old(128-n_new, ascending incl BIG_Z pad) |
+    new(n_new, descending)] by comparison-count ranks instead of the
+    7-stage bitonic butterfly (VERDICT r3 Next #4).
+
+    Old elements move RIGHT by s_i = #{new < old_i} (monotone
+    non-decreasing, <= n_new), realized as a log2(n_new)+1-stage variable
+    shift network with a validity stream (an element departs its lane when
+    it moves; monotonicity makes arrivals collision-free, and no move can
+    overshoot its final rank so lane-wrap never produces a live arrival).
+    New elements land by a one-hot scatter at their ranks.  Tie ranks match
+    a stable old-before-new merge; tied z values make the z output
+    order-independent, so this is interchangeable with the bitonic merge.
+    """
+    br, n = z.shape
+    k = n - n_new
+    old_z, new_z = z[:, :k], z[:, k:]
+    old_p, new_p = payload[:, :k], payload[:, k:]
+
+    # Shift counts for old (strict <: old goes first on ties) and ranks for
+    # new (<=: pushed after equal old; descending new => base rank 15-j).
+    s_old = jnp.sum(
+        (new_z[:, None, :] < old_z[:, :, None]).astype(jnp.float32), axis=-1
+    )  # [BR, k] in [0, n_new]
+    cnt_new = jnp.sum(
+        (old_z[:, None, :] <= new_z[:, :, None]).astype(jnp.float32), axis=-1
+    )  # [BR, n_new]
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (br, n_new), 1).astype(jnp.float32)
+    r_new = (n_new - 1.0) - j_iota + cnt_new  # [BR, n_new] ranks in [0, n)
+
+    # Pad the old stream to n lanes; pad lanes are invalid (never move,
+    # always overwritten by the final combine).
+    pad = jnp.zeros((br, n_new), jnp.float32)
+    v_z = jnp.concatenate([old_z, pad + BIG_Z], axis=-1)
+    v_p = jnp.concatenate([old_p, pad], axis=-1)
+    rem = jnp.concatenate([s_old, pad], axis=-1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (br, n), 1).astype(jnp.float32)
+    valid = (lane < k).astype(jnp.float32)
+
+    d = n_new
+    while d >= 1:
+        fd = float(d)
+        pz = _roll(v_z, d, axis=1)
+        pp = _roll(v_p, d, axis=1)
+        pr = _roll(rem, d, axis=1)
+        pv = _roll(valid, d, axis=1)
+        arrive = jnp.logical_and(pv > 0.5, pr >= fd)
+        depart = jnp.logical_and(valid > 0.5, rem >= fd)
+        v_z = jnp.where(arrive, pz, v_z)
+        v_p = jnp.where(arrive, pp, v_p)
+        rem = jnp.where(arrive, pr - fd, rem)
+        valid = jnp.where(arrive, 1.0, jnp.where(depart, 0.0, valid))
+        d //= 2
+
+    # Scatter the new elements at their ranks; every lane without an old
+    # arrival is (exactly) a new-element destination or trailing pad.
+    onehot = (r_new[:, :, None] == lane[:, None, :]).astype(jnp.float32)
+    new_z_sc = jnp.sum(onehot * new_z[:, :, None], axis=1)
+    new_p_sc = jnp.sum(onehot * new_p[:, :, None], axis=1)
+    is_old = valid > 0.5
+    return jnp.where(is_old, v_z, new_z_sc), jnp.where(is_old, v_p, new_p_sc)
+
+
 def _round_new_z(z, sdf, valid_n, inv_s, oo, od, n_new: int):
     """One up-sample round on padded [BR, 128] buffers -> new_z [BR, n_new]
     in DESCENDING order.  Mirrors neus_up_sample + det sample_pdf."""
@@ -237,17 +309,17 @@ def _round_new_z(z, sdf, valid_n, inv_s, oo, od, n_new: int):
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, valid_n - 1)
 
-    cdf_b = _onehot_gather(cdf, below)
-    cdf_a = _onehot_gather(cdf, above)
-    z_b = _onehot_gather(z, below)
-    z_a = _onehot_gather(z, above)
+    # One [BR, n_new, 128] one-hot per index set, shared by the cdf and z
+    # gathers (the construction dominates the gather cost on the VPU).
+    cdf_b, z_b = _onehot_gather_many([cdf, z], below)
+    cdf_a, z_a = _onehot_gather_many([cdf, z], above)
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < 1e-5, 1.0, denom)
     t = (u - cdf_b) / denom
     return z_b + t * (z_a - z_b)  # [BR, n_new], descending
 
 
-def _refine_rounds(z, sdf, rays_o, rays_d, weights, cfg, rounds, n_new, base_inv_s):
+def _refine_rounds(z, sdf, rays_o, rays_d, weights, cfg, rounds, n_new, base_inv_s, merge="bitonic"):
     """Shared refinement loop: [BR,128] padded buffers -> fully refined z.
 
     A ``fori_loop`` (not an unrolled python loop): all per-round shapes are
@@ -273,6 +345,8 @@ def _refine_rounds(z, sdf, rays_o, rays_d, weights, cfg, rounds, n_new, base_inv
             axis=-1,
         )
         sdf_cat = jnp.concatenate([sdf[:, : N_BUF - n_new], new_sdf], axis=-1)
+        if merge == "rank":
+            return _rank_merge(z_cat, sdf_cat, n_new)
         return _bitonic_merge(z_cat, sdf_cat)
 
     return jax.lax.fori_loop(0, rounds, body, (z, sdf))
@@ -282,7 +356,7 @@ def _refine_rounds(z, sdf, rays_o, rays_d, weights, cfg, rounds, n_new, base_inv
 # Kernel bodies
 
 
-def _importance_kernel(cfg, rounds, n_new, base_inv_s, n_weights):
+def _importance_kernel(cfg, rounds, n_new, base_inv_s, n_weights, merge="bitonic"):
     def kernel(z0_ref, o_ref, d_ref, *refs):
         w_refs, (z_out_ref,) = refs[:n_weights], refs[n_weights:]
         weights = [r[:] for r in w_refs]
@@ -295,7 +369,7 @@ def _importance_kernel(cfg, rounds, n_new, base_inv_s, n_weights):
         pad = jnp.full((br, N_BUF - n0), BIG_Z, jnp.float32)
         z = jnp.concatenate([z0, pad], axis=-1)
         sdf = jnp.concatenate([sdf0, jnp.zeros_like(pad)], axis=-1)
-        z, _ = _refine_rounds(z, sdf, o, d, weights, cfg, rounds, n_new, base_inv_s)
+        z, _ = _refine_rounds(z, sdf, o, d, weights, cfg, rounds, n_new, base_inv_s, merge)
         z_out_ref[:] = z
 
     return kernel
@@ -344,7 +418,7 @@ def _shadow_final_kernel(cfg, n_weights):
     return kernel
 
 
-def _shadow_kernel(cfg, rounds, n_new, base_inv_s, n_weights):
+def _shadow_kernel(cfg, rounds, n_new, base_inv_s, n_weights, merge="bitonic"):
     def kernel(z0_ref, o_ref, d_ref, sdist_ref, invs_ref, anneal_ref, *refs):
         w_refs, (tau_ref,) = refs[:n_weights], refs[n_weights:]
         weights = [r[:] for r in w_refs]
@@ -359,7 +433,7 @@ def _shadow_kernel(cfg, rounds, n_new, base_inv_s, n_weights):
         pad = jnp.full((br, N_BUF - n0), BIG_Z, jnp.float32)
         z = jnp.concatenate([z0, pad], axis=-1)
         sdf = jnp.concatenate([sdf0, jnp.zeros_like(pad)], axis=-1)
-        z, _ = _refine_rounds(z, sdf, o, d, weights, cfg, rounds, n_new, base_inv_s)
+        z, _ = _refine_rounds(z, sdf, o, d, weights, cfg, rounds, n_new, base_inv_s, merge)
 
         # Section mids/lengths; the last interval gets the per-ray
         # sample_dist (reference get_visibility :416-418).
@@ -426,7 +500,7 @@ def _weights_and_specs(params, cfg: SDFNetConfig, mlp_dtype: str = "float32"):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "rounds", "n_new", "base_inv_s", "block_rays", "interpret", "mlp_dtype"),
+    static_argnames=("cfg", "rounds", "n_new", "base_inv_s", "block_rays", "interpret", "mlp_dtype", "merge"),
 )
 def fused_importance_z(
     params: dict,
@@ -441,9 +515,11 @@ def fused_importance_z(
     block_rays: int = 32,
     interpret: bool = False,
     mlp_dtype: str = "float32",
+    merge: str = "bitonic",
 ) -> jnp.ndarray:
     """[B, 64] stratified z -> [B, 128] refined z (sorted); the initial
-    stratified SDF sweep runs inside the kernel."""
+    stratified SDF sweep runs inside the kernel.  ``merge`` selects the
+    per-round sorted-merge network ("bitonic" | "rank")."""
     if z0.shape[1] != N_BUF - rounds * n_new:
         raise ValueError(
             f"fused march needs z0 with {N_BUF - rounds * n_new} samples "
@@ -454,7 +530,7 @@ def fused_importance_z(
     weights, w_specs = _weights_and_specs(params, cfg, mlp_dtype)
     n0 = z0.shape[1]
 
-    kernel = _importance_kernel(cfg, rounds, n_new, base_inv_s, len(weights))
+    kernel = _importance_kernel(cfg, rounds, n_new, base_inv_s, len(weights), merge)
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -477,7 +553,7 @@ def fused_importance_z(
     jax.jit,
     static_argnames=(
         "cfg", "rounds", "n_new", "base_inv_s", "block_rays", "interpret",
-        "mlp_dtype", "split", "refine_block_rays",
+        "mlp_dtype", "split", "refine_block_rays", "merge",
     ),
 )
 def fused_shadow_tau(
@@ -498,6 +574,7 @@ def fused_shadow_tau(
     mlp_dtype: str = "float32",
     split: bool = False,
     refine_block_rays: int = 64,
+    merge: str = "bitonic",
 ) -> jnp.ndarray:
     """Shadow rays -> final transmittance [B, 1] (initial sweep in-kernel).
 
@@ -531,7 +608,7 @@ def fused_shadow_tau(
             params, cfg, ray_o[:b], ray_d[:b], z0[:b],
             rounds=rounds, n_new=n_new, base_inv_s=base_inv_s,
             block_rays=refine_block_rays, interpret=interpret,
-            mlp_dtype=mlp_dtype,
+            mlp_dtype=mlp_dtype, merge=merge,
         )
         (ray_o, ray_d, z, sample_dist), b, n_blocks = _pad_rays(
             [ray_o[:b], ray_d[:b], z, sample_dist[:b]], block_rays
@@ -557,7 +634,7 @@ def fused_shadow_tau(
         )(z, ray_o, ray_d, sample_dist, inv_s_arr, anneal_arr, *weights)
         return out[:b]
 
-    kernel = _shadow_kernel(cfg, rounds, n_new, base_inv_s, len(weights))
+    kernel = _shadow_kernel(cfg, rounds, n_new, base_inv_s, len(weights), merge)
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),

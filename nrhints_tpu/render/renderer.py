@@ -111,6 +111,20 @@ class RendererConfig:
     round 3: the split step measures 15.62 ms vs the 16.06 ms monolith at
     512 rays (PROFILE.md "Split shadow march in-step")."""
     shadow_refine_block_rays: int = 32
+    march_merge: str = "bitonic"
+    """Per-round sorted-merge network inside the march kernels: "bitonic"
+    (7-stage butterfly) or "rank" (comparison-count ranks + variable shift
+    network).  Identical math; see PROFILE.md "March merge network" for the
+    measured comparison behind the default."""
+    core_backward: str = "stash"
+    """Backward schedule of the fused core custom-VJP ops: "stash" (forward
+    writes per-layer activations to HBM; backward reads them instead of
+    recomputing the forward chain — kernels/core_stash.py) or "recompute"
+    (round-3 behavior: re-run the primal in-kernel and VJP it).  Shipping
+    default "stash" since round 4: isolated SDF fwd+bwd 6.44 vs 8.42 ms,
+    full step 14.74 vs 15.62 ms (PROFILE.md "Core backward schedule")."""
+    core_block_pts_bwd: int = 128
+    """Point-block of the core backward kernels (VMEM-bounded)."""
 
 
 @dataclass(frozen=True)
@@ -309,6 +323,7 @@ def _importance_sample_z(params, cfg: ModelConfig, rays_o, rays_d, z_vals, mesh=
                 block_rays=rcfg.importance_block_rays,
                 interpret=rcfg.fused_interpret,
                 mlp_dtype=rcfg.march_dtype,
+                merge=rcfg.march_merge,
             )
 
         # Per-shard ray blocks under a mesh (see shard_rays_call); rays
@@ -456,6 +471,7 @@ def _shadow_transmittance(
                 mlp_dtype=rcfg.march_dtype,
                 split=rcfg.shadow_split,
                 refine_block_rays=rcfg.shadow_refine_block_rays,
+                merge=rcfg.march_merge,
             )
 
         call = shard_rays_call(
@@ -717,7 +733,12 @@ def render_rays(
 
         def sdf_call(p, x):
             return fused_sdf_value_feat_grad(
-                p, cfg.sdf_network, x, interpret=rcfg.fused_interpret
+                p,
+                cfg.sdf_network,
+                x,
+                interpret=rcfg.fused_interpret,
+                backward=rcfg.core_backward,
+                block_pts_bwd=rcfg.core_block_pts_bwd,
             )
 
         # Sharded over the flattened [B*S] point axis (B divides => B*S
@@ -851,7 +872,11 @@ def render_rays(
             it = iter(live)
             full = [next(it) if ok else None for ok in present]
             return fused_reflectance_forward(
-                p, cfg.reflectance_network, *full, interpret=rcfg.fused_interpret
+                p,
+                cfg.reflectance_network,
+                *full,
+                interpret=rcfg.fused_interpret,
+                backward=rcfg.core_backward,
             )
 
         color_call = shard_rays_call(

@@ -193,3 +193,40 @@ def test_mlp_stash_op_interpret(mlp_setup):
     np.testing.assert_allclose(float(va), float(vb), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_renderer_stash_and_rank_merge_match_defaults():
+    """Full fused render (interpret) with core_backward='stash' and
+    march_merge='rank' reproduces the default path's outputs and gradients
+    — the knobs are pure execution-schedule changes."""
+    import dataclasses
+
+    from tests.test_shard_fused import flagship_tiny_config, make_rays
+
+    from nrhints_tpu.render.renderer import init_model_params, render_rays
+
+    cfg = flagship_tiny_config()
+    cfg_v2 = dataclasses.replace(
+        cfg,
+        renderer=dataclasses.replace(
+            cfg.renderer, core_backward="stash", march_merge="rank",
+            core_block_pts_bwd=32,
+        ),
+    )
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    rays = make_rays(8, seed=3)
+
+    def loss(p, c):
+        out = render_rays(p, c, rays, None, cos_anneal_ratio=1.0)
+        return jnp.sum(out.rgb) + jnp.sum(out.analytic_normals ** 2)
+
+    v1, g1 = jax.value_and_grad(lambda p: loss(p, cfg))(params)
+    v2, g2 = jax.value_and_grad(lambda p: loss(p, cfg_v2))(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    # Both paths round dot operands to bf16, and the stash path reads bf16
+    # activations where the recompute path rebuilds f32 ones — measured
+    # ~1.2e-3-of-scale worst-case gradient difference on small leaves (same
+    # order as the bf16-operand noise both paths already carry vs pure f32;
+    # the f32-stash op-level tests above pin the schedule itself exactly).
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        _assert_close_scaled(a, b, tol=3e-3)
