@@ -159,9 +159,13 @@ def _torch_whole_image(pipe, bundle_np):
     return np.asarray(img["rgb"], np.float32)
 
 
-def run_torch_side(scene, batches, hyper, eval_steps, eval_bundle, torch_seed=3):
-    """Train the reference for len(batches) steps; returns curves dict."""
-    pipe, optimizer, scheduler, _ = _torch_pipeline(scene, SAMP, hyper, torch_seed)
+def run_torch_side(scene, batches, hyper, eval_steps, eval_bundle, torch_seed=3,
+                   pipe=None, optimizer=None, scheduler=None):
+    """Train the reference for len(batches) steps; returns curves dict.
+    Pass a pre-built (pipe, optimizer, scheduler) so the caller can snapshot
+    the INIT weights before training mutates them."""
+    if pipe is None:
+        pipe, optimizer, scheduler, _ = _torch_pipeline(scene, SAMP, hyper, torch_seed)
     losses, psnrs, evals = [], [], {}
     t0 = time.time()
     for step, batch in enumerate(batches):
@@ -199,12 +203,12 @@ def make_jax_cfg(hyper):
     )
 
 
-def run_jax_side(scene, batches, hyper, eval_steps, eval_bundle, torch_pipe, jax_seed=0):
-    """Train nrhints_tpu with init weights copied from ``torch_pipe``."""
+def run_jax_side(scene, batches, hyper, eval_steps, eval_bundle, init_renderer_params, jax_seed=0):
+    """Train nrhints_tpu from ``init_renderer_params`` (the torch pipeline's
+    INIT weights, converted BEFORE the torch side trained — converting after
+    would hand our run the reference's final weights)."""
     import jax
     import jax.numpy as jnp
-
-    from tests.torch_ref import renderer_torch_to_params
 
     from nrhints_tpu.camera.rays import ray_generator_init
     from nrhints_tpu.core.structs import PixelBundle
@@ -217,9 +221,7 @@ def run_jax_side(scene, batches, hyper, eval_steps, eval_bundle, torch_pipe, jax
         jax.random.PRNGKey(0), cfg.ray_generator, scene.total_image_num
     )
     params = {
-        "renderer": jax.tree_util.tree_map(
-            jnp.asarray, renderer_torch_to_params(torch_pipe.renderer)
-        ),
+        "renderer": jax.tree_util.tree_map(jnp.asarray, init_renderer_params),
         "raygen": raygen_params,
     }
     optimizer = make_optimizer(cfg)
@@ -262,6 +264,7 @@ def run_head_to_head(
     smooth_window: int = 100,
     scene_dir=None,
     with_control: bool = True,
+    samp: dict | None = None,
 ):
     """Full experiment; returns the results dict (see __main__ for schema)."""
     import tempfile
@@ -275,6 +278,10 @@ def run_head_to_head(
     jax.config.update("jax_platforms", "cpu")
 
     from nrhints_tpu.data.manager import DataManager
+
+    global SAMP
+    if samp is not None:
+        SAMP = dict(samp)  # module-global: _torch_pipeline and make_jax_cfg read it
 
     if scene_dir is None:
         scene_dir = pathlib.Path(tempfile.gettempdir()) / f"nrhints_traj_{H}x{W}_{n_train}"
@@ -298,9 +305,27 @@ def run_head_to_head(
     eval_steps = sorted({int(steps * (i + 1) / n_evals) for i in range(n_evals)})
     eval_bundle = dm.get_view(scene.num_image_per_split[0])  # first val view
 
-    ref = run_torch_side(scene, batches, hyper, eval_steps, eval_bundle, torch_seed=3)
-    torch_pipe = ref.pop("params")
-    ours = run_jax_side(scene, batches, hyper, eval_steps, eval_bundle, torch_pipe)
+    # Build the torch pipeline and snapshot its INIT weights FIRST — the
+    # torch side trains in place, and converting afterwards would start the
+    # jax run from the reference's FINAL weights (the round-4 calibration
+    # bug: "ours" looked 43% better on train loss because it was).
+    import numpy as _np
+
+    from tests.torch_ref import renderer_torch_to_params
+
+    pipe, optimizer, scheduler, _ = _torch_pipeline(scene, SAMP, hyper, torch_seed=3)
+    init_renderer_params = jax.tree_util.tree_map(
+        _np.copy, renderer_torch_to_params(pipe.renderer)
+    )
+
+    ref = run_torch_side(
+        scene, batches, hyper, eval_steps, eval_bundle,
+        pipe=pipe, optimizer=optimizer, scheduler=scheduler,
+    )
+    ref.pop("params")
+    ours = run_jax_side(
+        scene, batches, hyper, eval_steps, eval_bundle, init_renderer_params
+    )
 
     control = None
     if with_control:

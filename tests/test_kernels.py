@@ -221,3 +221,44 @@ def test_fused_core_train_grads_match_xla(setup):
         scale = max(np.abs(a).max(), 1e-3)
         assert np.abs(a - b).max() / scale < 0.08, (np.abs(a - b).max(), scale)
 
+
+def test_stash_backward_matches_recompute_on_tpu(setup):
+    """Real-Mosaic stash backward vs the recompute backward: same gradients
+    (both bf16-operand; the stash adds bf16-activation reads — tolerance as
+    in tests/test_core_stash.py, but on hardware)."""
+    from nrhints_tpu.kernels.core_mlp import fused_sdf_value_feat_grad
+
+    cfg, params, _, B, rays_o, rays_d = setup
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1024, 3)).astype(np.float32)) * 0.4
+
+    def loss(p, backward):
+        s, f, g = fused_sdf_value_feat_grad(p, cfg, x, backward=backward)
+        return jnp.sum(s) + jnp.sum((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
+
+    g_r = jax.jit(jax.grad(lambda p: loss(p, "recompute")))(params)
+    g_s = jax.jit(jax.grad(lambda p: loss(p, "stash")))(params)
+    # Measured on v5e (2026-08-21): worst leaf 4.3e-3 of scale — real-Mosaic
+    # bf16 rounding is coarser than interpret mode's (1.2e-3) but far inside
+    # the established bf16 fused-vs-XLA band (8e-2 in
+    # test_fused_core_train_grads_match_xla).  The f32-stash interpret tests
+    # (tests/test_core_stash.py) pin the schedule itself exactly.
+    for a, b in zip(jax.tree_util.tree_leaves(g_r), jax.tree_util.tree_leaves(g_s)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(float(np.abs(a).max()), 1e-6)
+        assert float(np.abs(a - b).max()) <= 1e-2 * scale
+
+
+def test_rank_merge_matches_bitonic_on_tpu(setup):
+    """Real-Mosaic rank merge vs bitonic through fused_importance_z."""
+    from nrhints_tpu.kernels.march import fused_importance_z
+
+    cfg, params, _, B, rays_o, rays_d = setup
+    z0 = jnp.broadcast_to(jnp.linspace(2.0, 4.0, 64), (B, 64))
+    z_bit = jax.jit(
+        lambda: fused_importance_z(params, cfg, rays_o, rays_d, z0)
+    )()
+    z_rank = jax.jit(
+        lambda: fused_importance_z(params, cfg, rays_o, rays_d, z0, merge="rank")
+    )()
+    np.testing.assert_allclose(np.asarray(z_rank), np.asarray(z_bit), atol=1e-5)
