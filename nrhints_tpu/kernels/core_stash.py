@@ -63,9 +63,12 @@ def _encode(x, cfg: SDFNetConfig):
     return jnp.concatenate([xs, sin_b, cos_b], axis=-1), sin_b, cos_b
 
 
-def sdf_core_fwd_hs_ref(weights, x, cfg: SDFNetConfig, compute_dtype="float32"):
-    """Forward + reverse sweep, ALSO returning the per-layer activations hs.
-    Outputs match ``sdf_core_ref`` exactly (same op order)."""
+def sdf_core_fwd_hs_ref(weights, x, cfg: SDFNetConfig, compute_dtype="float32",
+                        return_us=False):
+    """Forward + reverse sweep, ALSO returning the per-layer activations hs
+    (and, with ``return_us``, the reverse-sweep values u_i — the g just
+    before each layer's gate multiply — plus the final g_enc).  Outputs
+    match ``sdf_core_ref`` exactly (same op order)."""
     cdt = None if compute_dtype == "float32" else jnp.dtype(compute_dtype)
     L = cfg.n_layers
     io, _ = _layer_dims(cfg)
@@ -92,7 +95,9 @@ def sdf_core_fwd_hs_ref(weights, x, cfg: SDFNetConfig, compute_dtype="float32"):
     m = x.shape[0]
     g = (jnp.transpose(w_sdf) + jnp.zeros((m, 1), enc.dtype)) / cfg.scale
     g_enc = jnp.zeros_like(enc)
+    us = [None] * L
     for i in reversed(range(L)):
+        us[i] = g
         g = g * gates[i]
         g = _dot_t(g, weights[2 * i], cdt)
         if i in cfg.skip_in:
@@ -102,6 +107,8 @@ def sdf_core_fwd_hs_ref(weights, x, cfg: SDFNetConfig, compute_dtype="float32"):
             g = g[:, :split]
     g_enc = g_enc + g
     gx = _tail(g_enc, sin_b, cos_b, cfg)
+    if return_us:
+        return sdf[:, 0:1], feat, gx, hs, us, g_enc
     return sdf[:, 0:1], feat, gx, hs
 
 
@@ -216,6 +223,99 @@ def sdf_core_bwd_stash_ref(weights, x, hs, cots, cfg: SDFNetConfig, compute_dtyp
     return tuple(dws), dx
 
 
+def sdf_core_bwd_stash_all_ref(
+    weights, x, hs, us, g_enc, cots, cfg: SDFNetConfig, compute_dtype="float32"
+):
+    """Backward with hs AND the reverse-sweep (us, g_enc) stashed — the
+    RevSweep primal is free, leaving ~4L matmul passes:
+
+      Tail vjp (elementwise, at stashed g_enc)
+      hand RevSweep vjp at stashed us  (v-chain L + dW outers L)
+      Heads vjp (2 matmuls each way)
+      hand Fwd z-chain vjp at stashed hs  (2L)
+    """
+    cdt = None if compute_dtype == "float32" else jnp.dtype(compute_dtype)
+    ds, df, dgx = cots
+    L = cfg.n_layers
+    io, _ = _layer_dims(cfg)
+    enc, sin_b, cos_b = _encode(x, cfg)
+    d0 = enc.shape[-1]
+    gates = [_gate_from_h(h) for h in hs]
+
+    # 1) Tail vjp at the stashed g_enc.
+    (_, tail_vjp) = jax.vjp(
+        lambda ge, sb, cb: _tail(ge, sb, cb, cfg), g_enc, sin_b, cos_b
+    )
+    d_genc, d_sin_t, d_cos_t = tail_vjp(dgx)
+
+    # 2) Hand RevSweep vjp at stashed us: the cotangent of the sweep's g
+    # stream propagates in ASCENDING layer order (validated vs
+    # jax.vjp(_rev_sweep) at 1e-7 rel — see the round-4 derivation).
+    dws = [jnp.zeros_like(w) for w in weights]
+    dhs_r = [None] * L
+    carry = d_genc
+    for i in range(L):
+        v_r = carry
+        if i in cfg.skip_in:
+            v_r = jnp.concatenate([carry, d_genc], axis=-1) * INV_SQRT2
+        t_i = us[i] * gates[i]
+        dws[2 * i] = dws[2 * i] + _dot(jnp.transpose(v_r), t_i, cdt)
+        dt = _dot(v_r, weights[2 * i], cdt)
+        dhs_r[i] = dt * us[i] * (100.0 * (1.0 - gates[i]))
+        carry = dt * gates[i]
+    L2 = 2 * L
+    dws[L2] = dws[L2] + (jnp.sum(carry, axis=0) / cfg.scale)[:, None]
+
+    # 3) Heads.
+    h_L = hs[L - 1]
+    ds_s = ds / cfg.scale
+    dws[L2] = dws[L2] + _dot(jnp.transpose(h_L), ds_s, cdt)
+    dws[L2 + 1] = dws[L2 + 1] + jnp.sum(ds_s, axis=0, keepdims=True)
+    dws[L2 + 2] = dws[L2 + 2] + _dot(jnp.transpose(h_L), df, cdt)
+    dws[L2 + 3] = dws[L2 + 3] + jnp.sum(df, axis=0, keepdims=True)
+    dh_L = _dot_t(ds_s, weights[L2], cdt) + _dot_t(df, weights[L2 + 2], cdt)
+
+    # 4) Fwd hand-vjp (identical to the hs-stash variant).
+    G = dh_L + dhs_r[L - 1]
+    d_enc = jnp.zeros_like(enc)
+    gprev = None
+    for i in reversed(range(L)):
+        Gz = G * gates[i]
+        if i in cfg.skip_in:
+            inp = jnp.concatenate([hs[i - 1], enc], axis=-1) * INV_SQRT2
+        elif i == 0:
+            inp = enc
+        else:
+            inp = hs[i - 1]
+        dws[2 * i] = dws[2 * i] + _dot(jnp.transpose(inp), Gz, cdt)
+        dws[2 * i + 1] = dws[2 * i + 1] + jnp.sum(Gz, axis=0, keepdims=True)
+        gprev = _dot_t(Gz, weights[2 * i], cdt)
+        if i in cfg.skip_in:
+            gprev = gprev * INV_SQRT2
+            split = io[i][0] - d0
+            d_enc = d_enc + gprev[:, split:]
+            gprev = gprev[:, :split]
+        if i > 0:
+            G = gprev + dhs_r[i - 1]
+    d_enc = d_enc + gprev
+
+    # 5) Encoding chain -> dx.
+    d_in = cfg.d_in
+    F = cfg.multi_res
+    d_xs = d_enc[:, :d_in]
+    e_sin = d_enc[:, d_in : d_in + d_in * F] + d_sin_t
+    e_cos = d_enc[:, d_in + d_in * F :] + d_cos_t
+    dS = e_sin * cos_b - e_cos * sin_b
+    per_dim = []
+    for d in range(d_in):
+        acc = dS[:, d * F : d * F + 1]
+        for f in range(1, F):
+            acc = acc + dS[:, d * F + f : d * F + f + 1] * (2.0 ** f)
+        per_dim.append(acc)
+    dxs = d_xs + jnp.concatenate(per_dim, axis=-1)
+    return tuple(dws), dxs * cfg.scale
+
+
 # ---------------------------------------------------------------------------
 # Pallas plumbing: custom-VJP op with stashed-activation backward
 
@@ -245,23 +345,35 @@ _sdf_stash_op.defvjp(_sdf_stash_fwd, _sdf_stash_bwd)
 
 
 def _sdf_stash_fwd_pallas(opts, weights, x):
-    cfg, bp, _bp_bwd, interpret, compute_dtype, stash_dtype = opts
+    cfg, bp, _bp_bwd, interpret, compute_dtype, stash_dtype, stash_us = opts
     (x_p,), n, n_blocks = _pad_rows([x], bp)
     n_w = len(weights)
     d_feat = cfg.d_out_feat
     widths = _stash_widths(cfg)
     sdt = jnp.dtype(stash_dtype)
+    d0 = cfg.d_encoded
+    L = cfg.n_layers
 
     def kernel(x_ref, *refs):
         w_refs, out_refs = refs[:n_w], refs[n_w:]
         ws = [r[:] for r in w_refs]
-        sdf, feat, gx, hs = sdf_core_fwd_hs_ref(ws, x_ref[:], cfg, compute_dtype)
+        if stash_us:
+            sdf, feat, gx, hs, us, g_enc = sdf_core_fwd_hs_ref(
+                ws, x_ref[:], cfg, compute_dtype, return_us=True
+            )
+            extras = hs + us + [g_enc]
+        else:
+            sdf, feat, gx, hs = sdf_core_fwd_hs_ref(ws, x_ref[:], cfg, compute_dtype)
+            extras = hs
         out_refs[0][:] = sdf
         out_refs[1][:] = feat
         out_refs[2][:] = gx
-        for r, h in zip(out_refs[3:], hs):
-            r[:] = h.astype(sdt)
+        for r, v in zip(out_refs[3:], extras):
+            r[:] = v.astype(sdt)
 
+    extra_widths = list(widths)
+    if stash_us:
+        extra_widths += list(widths) + [d0]
     outs = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -270,28 +382,29 @@ def _sdf_stash_fwd_pallas(opts, weights, x):
             _row_spec(bp, 1),
             _row_spec(bp, d_feat),
             _row_spec(bp, 3),
-            *[_row_spec(bp, w) for w in widths],
+            *[_row_spec(bp, w) for w in extra_widths],
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_blocks * bp, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks * bp, d_feat), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks * bp, 3), jnp.float32),
-            *[jax.ShapeDtypeStruct((n_blocks * bp, w), sdt) for w in widths],
+            *[jax.ShapeDtypeStruct((n_blocks * bp, w), sdt) for w in extra_widths],
         ),
         interpret=interpret,
     )(x_p, *weights)
     sdf, feat, gx = outs[0][:n, 0], outs[1][:n], outs[2][:n]
-    hs = [h[:n] for h in outs[3:]]
-    return (sdf, feat, gx), hs
+    extras = [h[:n] for h in outs[3:]]
+    return (sdf, feat, gx), extras
 
 
-def _sdf_stash_bwd_pallas(opts, weights, x, hs, cots):
-    cfg, _bp_fwd, bp, interpret, compute_dtype, _stash_dtype = opts
+def _sdf_stash_bwd_pallas(opts, weights, x, stash, cots):
+    cfg, _bp_fwd, bp, interpret, compute_dtype, _stash_dtype, stash_us = opts
     d_sdf, d_feat_c, d_gx = cots
     d_feat_dim = cfg.d_out_feat
     widths = _stash_widths(cfg)
-    (x_p, ds_p, df_p, dg_p, *hs_p), n, n_blocks = _pad_rows(
-        [x, d_sdf.reshape(-1, 1), d_feat_c, d_gx, *hs], bp
+    d0 = cfg.d_encoded
+    (x_p, ds_p, df_p, dg_p, *stash_p), n, n_blocks = _pad_rows(
+        [x, d_sdf.reshape(-1, 1), d_feat_c, d_gx, *stash], bp
     )
     if n_blocks * bp != n:
         row = jnp.arange(n_blocks * bp)[:, None]
@@ -300,16 +413,25 @@ def _sdf_stash_bwd_pallas(opts, weights, x, hs, cots):
 
     n_w = len(weights)
     L = cfg.n_layers
+    n_stash = len(stash)
 
     def kernel(x_ref, ds_ref, df_ref, dg_ref, *refs):
-        h_refs = refs[:L]
-        w_refs = refs[L : L + n_w]
-        dw_refs, dx_ref = refs[L + n_w : L + 2 * n_w], refs[L + 2 * n_w]
+        s_refs = refs[:n_stash]
+        w_refs = refs[n_stash : n_stash + n_w]
+        dw_refs = refs[n_stash + n_w : n_stash + 2 * n_w]
+        dx_ref = refs[n_stash + 2 * n_w]
         ws = [r[:] for r in w_refs]
-        hh = [r[:].astype(jnp.float32) for r in h_refs]
-        dws, dx = sdf_core_bwd_stash_ref(
-            ws, x_ref[:], hh, (ds_ref[:], df_ref[:], dg_ref[:]), cfg, compute_dtype
-        )
+        sv = [r[:].astype(jnp.float32) for r in s_refs]
+        cot = (ds_ref[:], df_ref[:], dg_ref[:])
+        if stash_us:
+            hh, uu, g_enc = sv[:L], sv[L : 2 * L], sv[2 * L]
+            dws, dx = sdf_core_bwd_stash_all_ref(
+                ws, x_ref[:], hh, uu, g_enc, cot, cfg, compute_dtype
+            )
+        else:
+            dws, dx = sdf_core_bwd_stash_ref(
+                ws, x_ref[:], sv, cot, cfg, compute_dtype
+            )
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -323,6 +445,9 @@ def _sdf_stash_bwd_pallas(opts, weights, x, hs, cots):
 
         dx_ref[:] = dx
 
+    stash_widths = list(widths)
+    if stash_us:
+        stash_widths += list(widths) + [d0]
     outs = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -331,7 +456,7 @@ def _sdf_stash_bwd_pallas(opts, weights, x, hs, cots):
             _row_spec(bp, 1),
             _row_spec(bp, d_feat_dim),
             _row_spec(bp, 3),
-            *[_row_spec(bp, w) for w in widths],
+            *[_row_spec(bp, w) for w in stash_widths],
             *_weight_specs(weights),
         ],
         out_specs=(*_weight_specs(weights), _row_spec(bp, 3)),
@@ -340,7 +465,7 @@ def _sdf_stash_bwd_pallas(opts, weights, x, hs, cots):
             jax.ShapeDtypeStruct((n_blocks * bp, 3), jnp.float32),
         ),
         interpret=interpret,
-    )(x_p, ds_p, df_p, dg_p, *hs_p, *weights)
+    )(x_p, ds_p, df_p, dg_p, *stash_p, *weights)
     dws, dx = outs[:n_w], outs[n_w]
     return tuple(dws), dx[:n]
 
@@ -355,12 +480,15 @@ def fused_sdf_value_feat_grad_stash(
     interpret: bool = False,
     compute_dtype: str = "bfloat16",
     stash_dtype: str = "bfloat16",
+    stash_us: bool = False,
 ):
     """Stash-backward twin of ``fused_sdf_value_feat_grad`` (same outputs,
     same forward numerics; backward reads stashed activations instead of
-    recomputing the forward chain)."""
+    recomputing the forward chain).  ``stash_us`` additionally stashes the
+    reverse-sweep values (u_i, g_enc) so the backward skips the RevSweep
+    primal too (~4L matmul passes vs ~5L) at double the stash traffic."""
     weights = materialize_sdf_weights_full(params, cfg)
-    opts = (cfg, block_pts, block_pts_bwd, interpret, compute_dtype, stash_dtype)
+    opts = (cfg, block_pts, block_pts_bwd, interpret, compute_dtype, stash_dtype, stash_us)
     sdf, feat, gx = _sdf_stash_op(opts, weights, x)
     return sdf, feat, gx
 

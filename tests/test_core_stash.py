@@ -230,3 +230,53 @@ def test_renderer_stash_and_rank_merge_match_defaults():
     # the f32-stash op-level tests above pin the schedule itself exactly).
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         _assert_close_scaled(a, b, tol=3e-3)
+
+
+def test_bwd_stash_all_ref_matches_vjp(sdf_setup):
+    """The 4L stash_all backward (hand RevSweep vjp at stashed us) vs
+    jax.vjp of the shared twin."""
+    from nrhints_tpu.kernels.core_stash import sdf_core_bwd_stash_all_ref
+
+    cfg, params, x = sdf_setup
+    ws = materialize_sdf_weights_full(params, cfg)
+    rng = np.random.default_rng(23)
+
+    def f(wl, xx):
+        return sdf_core_ref(wl, xx, cfg, "float32")
+
+    primal, vjp_fn = jax.vjp(f, list(ws), x)
+    cots = tuple(
+        jnp.asarray(rng.normal(0, 1, p.shape).astype(np.float32)) for p in primal
+    )
+    dws_gt, dx_gt = vjp_fn(cots)
+
+    _, _, _, hs, us, g_enc = sdf_core_fwd_hs_ref(
+        list(ws), x, cfg, "float32", return_us=True
+    )
+    dws, dx = sdf_core_bwd_stash_all_ref(
+        list(ws), x, hs, us, g_enc, cots, cfg, "float32"
+    )
+    _assert_close_scaled(dx, dx_gt)
+    for a, b in zip(dws, dws_gt):
+        _assert_close_scaled(a, b)
+
+
+def test_stash_all_op_interpret_matches_recompute(sdf_setup):
+    cfg, params, x = sdf_setup
+    kw = dict(block_pts=32, block_pts_bwd=32, interpret=True, compute_dtype="float32")
+
+    def loss_a(p):
+        sdf, feat, gx = fused_sdf_value_feat_grad(p, cfg, x, **kw)
+        return jnp.sum(sdf * 1.3 + jnp.sum(feat) * 1e-3 + jnp.sum(gx ** 2))
+
+    def loss_b(p):
+        sdf, feat, gx = fused_sdf_value_feat_grad_stash(
+            p, cfg, x, stash_dtype="float32", stash_us=True, **kw
+        )
+        return jnp.sum(sdf * 1.3 + jnp.sum(feat) * 1e-3 + jnp.sum(gx ** 2))
+
+    va, ga = jax.value_and_grad(loss_a)(params)
+    vb, gb = jax.value_and_grad(loss_b)(params)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        _assert_close_scaled(a, b)
