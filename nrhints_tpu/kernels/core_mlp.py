@@ -521,12 +521,13 @@ def fused_reflectance_forward(
     frequency encodings + concat run in XLA and fuse with the upstream
     graph; the 4x256 trunk runs as the Pallas custom-VJP op.
 
-    ``block_pts_bwd=None`` resolves per backward schedule: 512 for "stash"
-    (no recompute working set — measured optimum 3.15 vs 3.58 ms at 256),
-    256 for "recompute" (3.51 vs 3.61 ms at 512).  PROFILE.md "Core
-    backward schedule"."""
+    ``block_pts_bwd=None`` resolves per backward schedule: 1024 for "stash"
+    (no recompute working set; same-session sweep 2.65 vs 2.71 ms at 512,
+    3.15 vs 3.58 at 256 across sessions; 768 regresses — non-power-of-2 —
+    and 2048 fails Mosaic compile), 256 for "recompute" (3.51 vs 3.61 ms
+    at 512).  PROFILE.md "Core backward schedule"."""
     if block_pts_bwd is None:
-        block_pts_bwd = 512 if backward in ("stash", "stash_all") else 256
+        block_pts_bwd = 1024 if backward in ("stash", "stash_all") else 256
     from nrhints_tpu.core.encodings import nerf_encoding
 
     view_enc = nerf_encoding(view_dirs, cfg.multi_res, include_input=True)
