@@ -375,6 +375,41 @@ def _importance_kernel(cfg, rounds, n_new, base_inv_s, n_weights, merge="bitonic
     return kernel
 
 
+def _sweep_kernel(cfg, n_weights):
+    """Initial stratified SDF sweep alone (the split-march head): its
+    [BR*n0, 256] activation stream is the only VMEM tenant, so it runs much
+    larger ray blocks than the monolithic importance kernel."""
+
+    def kernel(z0_ref, o_ref, d_ref, *refs):
+        w_refs, (sdf_ref,) = refs[:n_weights], refs[n_weights:]
+        weights = [r[:] for r in w_refs]
+        o, d, z0 = o_ref[:], d_ref[:], z0_ref[:]
+        pts0 = o[:, None, :] + d[:, None, :] * z0[..., None]
+        sdf_ref[:] = _mlp_sdf_3d(pts0, weights, cfg)
+
+    return kernel
+
+
+def _rounds_kernel(cfg, rounds, n_new, base_inv_s, n_weights, merge):
+    """Refinement rounds alone, reading (z0, sdf0) from the sweep kernel —
+    its per-round 16-column MLP working set is small, so it too fits larger
+    ray blocks than the monolith."""
+
+    def kernel(z0_ref, sdf0_ref, o_ref, d_ref, *refs):
+        w_refs, (z_out_ref,) = refs[:n_weights], refs[n_weights:]
+        weights = [r[:] for r in w_refs]
+        o, d = o_ref[:], d_ref[:]
+        z0 = z0_ref[:]
+        br, n0 = z0.shape
+        pad = jnp.full((br, N_BUF - n0), BIG_Z, jnp.float32)
+        z = jnp.concatenate([z0, pad], axis=-1)
+        sdf = jnp.concatenate([sdf0_ref[:], jnp.zeros_like(pad)], axis=-1)
+        z, _ = _refine_rounds(z, sdf, o, d, weights, cfg, rounds, n_new, base_inv_s, merge)
+        z_out_ref[:] = z
+
+    return kernel
+
+
 def _shadow_final_kernel(cfg, n_weights):
     """Final-sweep half of the shadow march: refined z buffer -> tau.
 
@@ -500,7 +535,10 @@ def _weights_and_specs(params, cfg: SDFNetConfig, mlp_dtype: str = "float32"):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "rounds", "n_new", "base_inv_s", "block_rays", "interpret", "mlp_dtype", "merge"),
+    static_argnames=(
+        "cfg", "rounds", "n_new", "base_inv_s", "block_rays", "interpret",
+        "mlp_dtype", "merge", "split", "sweep_block_rays",
+    ),
 )
 def fused_importance_z(
     params: dict,
@@ -516,18 +554,70 @@ def fused_importance_z(
     interpret: bool = False,
     mlp_dtype: str = "float32",
     merge: str = "bitonic",
+    split: bool = False,
+    sweep_block_rays: int = 128,
 ) -> jnp.ndarray:
     """[B, 64] stratified z -> [B, 128] refined z (sorted); the initial
     stratified SDF sweep runs inside the kernel.  ``merge`` selects the
-    per-round sorted-merge network ("bitonic" | "rank")."""
+    per-round sorted-merge network ("bitonic" | "rank").
+
+    ``split=True`` runs the march as TWO kernels — the initial sweep
+    (``sweep_block_rays``) and the refinement rounds (``block_rays``) —
+    identical math; each half's VMEM working set stands alone so both fit
+    larger ray blocks than the monolith (the same trick as the shadow
+    split)."""
     if z0.shape[1] != N_BUF - rounds * n_new:
         raise ValueError(
             f"fused march needs z0 with {N_BUF - rounds * n_new} samples "
             f"(= {N_BUF} buffer - {rounds}x{n_new} refinement), got "
             f"{z0.shape[1]} — the validity masks assume this geometry"
         )
-    (rays_o, rays_d, z0), b, n_blocks = _pad_rays([rays_o, rays_d, z0], block_rays)
     weights, w_specs = _weights_and_specs(params, cfg, mlp_dtype)
+
+    if split:
+        (o_s, d_s, z0_s), b, n_blocks = _pad_rays(
+            [rays_o, rays_d, z0], sweep_block_rays
+        )
+        n0 = z0.shape[1]
+        sweep = pl.pallas_call(
+            _sweep_kernel(cfg, len(weights)),
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((sweep_block_rays, n0), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((sweep_block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((sweep_block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                *w_specs,
+            ],
+            out_specs=pl.BlockSpec(
+                (sweep_block_rays, n0), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_blocks * sweep_block_rays, n0), jnp.float32),
+            interpret=interpret,
+        )(z0_s, o_s, d_s, *weights)[:b]
+
+        (rays_o, rays_d, z0, sweep), b, n_blocks = _pad_rays(
+            [rays_o, rays_d, z0, sweep], block_rays
+        )
+        kernel = _rounds_kernel(cfg, rounds, n_new, base_inv_s, len(weights), merge)
+        out = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((block_rays, n0), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rays, n0), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                *w_specs,
+            ],
+            out_specs=pl.BlockSpec(
+                (block_rays, N_BUF), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_blocks * block_rays, N_BUF), jnp.float32),
+            interpret=interpret,
+        )(z0, sweep, rays_o, rays_d, *weights)
+        return out[:b]
+
+    (rays_o, rays_d, z0), b, n_blocks = _pad_rays([rays_o, rays_d, z0], block_rays)
     n0 = z0.shape[1]
 
     kernel = _importance_kernel(cfg, rounds, n_new, base_inv_s, len(weights), merge)

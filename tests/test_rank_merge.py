@@ -63,3 +63,16 @@ def test_shadow_split_rank_merge(setup):
         merge="rank",
     )
     np.testing.assert_allclose(np.asarray(tau_rank), np.asarray(tau_bit), atol=1e-6)
+
+
+def test_split_importance_matches_monolith(setup):
+    """The split importance march (sweep kernel + rounds kernel) is
+    numerically identical to the monolith (measured perf-neutral on the
+    chip — PROFILE.md 'Where the march time actually goes')."""
+    cfg, params, o, d, z0, _ = setup
+    z_mono = fused_importance_z(params, cfg, o, d, z0, block_rays=8, interpret=True)
+    z_split = fused_importance_z(
+        params, cfg, o, d, z0, block_rays=8, interpret=True,
+        split=True, sweep_block_rays=16,
+    )
+    np.testing.assert_array_equal(np.asarray(z_split), np.asarray(z_mono))
