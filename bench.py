@@ -56,6 +56,7 @@ def _measure(
     encoding: str = "frequency",
     sdf_overrides: dict | None = None,
     renderer_overrides: dict | None = None,
+    compiler_options: dict | None = None,
 ) -> float:
     """rays/s for one (fused_kernels, sdf encoding) setting (fresh jit,
     shared comp cache).  Also reused by scripts/profile_hash.py."""
@@ -105,7 +106,8 @@ def _measure(
         stacked = mesh_lib.shard_batch(mesh, jax.device_get(stacked), batch_axis=1)
 
     step_fn = make_train_step_scan(
-        cfg, camera, buffers, optimizer, n_steps=steps_per_dispatch, mesh=mesh
+        cfg, camera, buffers, optimizer, n_steps=steps_per_dispatch, mesh=mesh,
+        compiler_options=compiler_options,
     )
     key = jax.random.PRNGKey(0)
 
@@ -126,6 +128,28 @@ def _measure(
     float(metrics["loss"])  # forces the whole chain to completion
     dt = (time.perf_counter() - t0) / (iters * steps_per_dispatch)
     return batch / dt
+
+
+def _measure_eval(n_rays: int = 65536) -> float:
+    """Whole-image eval-path rays/s (Evaluator.render_image: one-dispatch
+    lax.map chunk sweep + device->host of the result images — the
+    user-visible inference path, no register_view)."""
+    import time as _time
+
+    import jax
+
+    from __graft_entry__ import _flagship_setup
+    from nrhints_tpu.eval.evaluator import Evaluator
+
+    cfg, camera, params, buffers, pixels = _flagship_setup(batch=n_rays)
+    ev = Evaluator(cfg, camera, buffers, mesh=None)
+    for _ in range(2):  # warmup: compile + donation variants
+        ev.render_image(params, pixels)
+    iters = 3
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        ev.render_image(params, pixels)
+    return n_rays * iters / (_time.perf_counter() - t0)
 
 
 def main() -> None:
@@ -165,8 +189,10 @@ def main() -> None:
         "platform": dev.platform,
     }
     # The headline goes out NOW so it survives a harness timeout of the
-    # best-effort points below (BENCH_r03.json lesson).
-    print(json.dumps(record), flush=True)
+    # best-effort points below (BENCH_r03.json lesson).  partial=True tags
+    # this early line so a consumer seeing TWO records can tell them apart
+    # (the final record, if the extras complete, drops the tag).
+    print(json.dumps({**record, "partial": True}), flush=True)
 
     def in_budget() -> bool:
         return time.monotonic() - t_start < budget_s
@@ -196,6 +222,11 @@ def main() -> None:
         extras["mfu_at_4096"] = round(
             at4096 * FLAGSHIP_FLOPS_PER_RAY / 1e12 / TPU_V5E_BF16_PEAK_TFLOPS, 4
         )
+
+    # The user-visible inference path (whole-image render, 65,536 rays =
+    # a 256x256 view): the eval-side number VERDICT r4 Next #5 asked for.
+    if os.environ.get("NRHINTS_BENCH_SKIP_EVAL") != "1" and in_budget():
+        extras["eval_rays_per_sec"] = round(_measure_eval() / n_dev, 1)
 
     if extras:
         # Full record again (headline fields + extras): a parser that reads

@@ -327,8 +327,15 @@ def _stash_widths(cfg: SDFNetConfig):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _sdf_stash_op(opts, weights, x):
-    out, _ = _sdf_stash_fwd_pallas(opts, weights, x)
-    return out
+    # Undifferentiated primal (eval/inference renders): dispatch the
+    # NON-stash forward kernel — XLA cannot DCE unused outputs of an opaque
+    # pallas_call, so the stashing kernel here would write (and discard)
+    # the full per-layer activation stash to HBM.  The stash-writing
+    # forward runs only on the fwd-for-grad path (``_sdf_stash_fwd``).
+    from nrhints_tpu.kernels.core_mlp import _sdf_core_fwd_pallas
+
+    cfg, bp, bp_bwd, interpret, compute_dtype, _sdt, _su = opts
+    return _sdf_core_fwd_pallas((cfg, bp, bp_bwd, interpret, compute_dtype), weights, x)
 
 
 def _sdf_stash_fwd(opts, weights, x):
@@ -528,8 +535,11 @@ def mlp_relu_bwd_stash_ref(weights, x, zs, g, n_layers, compute_dtype="float32")
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _mlp_stash_op(opts, weights, x):
-    out, _ = _mlp_stash_fwd_pallas(opts, weights, x)
-    return out
+    # Undifferentiated primal: non-stash forward kernel (see _sdf_stash_op).
+    from nrhints_tpu.kernels.core_mlp import _mlp_fwd_pallas
+
+    n_layers, bp, bp_bwd, interpret, compute_dtype, _sdt = opts
+    return _mlp_fwd_pallas((n_layers, bp, bp_bwd, interpret, compute_dtype), weights, x)
 
 
 def _mlp_stash_fwd(opts, weights, x):

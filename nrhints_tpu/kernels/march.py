@@ -410,45 +410,55 @@ def _rounds_kernel(cfg, rounds, n_new, base_inv_s, n_weights, merge):
     return kernel
 
 
+def _shadow_final_math(z, o, d, sdist, inv_s, cos_anneal, weights, cfg, roll):
+    """Shadow-march final sweep: refined z buffer -> tau [BR, 1].
+
+    Pure-jnp math shared by the Pallas final-sweep kernel (``roll`` =
+    pltpu.roll) and the XLA path (``roll`` = jnp.roll; see
+    ``final_impl="xla"``): section mids/lengths, dual
+    sdf+directional-derivative sweep, transmittance product — the tail of
+    reference ``get_visibility`` (models/neus_hint_model.py:403-432)."""
+    br = z.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (br, N_BUF), 1)
+    dists = jnp.where(lane == N_BUF - 1, sdist, roll(z, -1) - z)
+    mid = z + dists * 0.5
+
+    pts = o[:, None, :] + d[:, None, :] * mid[..., None]  # [BR,128,3]
+    # [BR, 1, 3] tangent broadcast implicitly inside the MLP
+    # (explicit broadcast_to of a middle dim crashes Mosaic).
+    dirs = d[:, None, :] + pts * 0.0
+    sdf_f, dcos = _mlp_sdf_dirderiv_3d(pts, dirs, weights, cfg)
+    iter_cos = -(
+        jax.nn.relu(-dcos * 0.5 + 0.5) * (1.0 - cos_anneal)
+        + jax.nn.relu(-dcos) * cos_anneal
+    )
+    est_next = sdf_f + iter_cos * dists * 0.5
+    est_prev = sdf_f - iter_cos * dists * 0.5
+    pcdf = jax.nn.sigmoid(est_prev * inv_s)
+    ncdf = jax.nn.sigmoid(est_next * inv_s)
+    alpha = jnp.clip((pcdf - ncdf + 1e-5) / (pcdf + 1e-5), 0.0, 1.0)
+    # tau = prod_{j < N-1} (1 - a_j + 1e-7): exclude the last sample.
+    logs = jnp.where(lane < N_BUF - 1, jnp.log(1.0 - alpha + 1e-7), 0.0)
+    return jnp.exp(jnp.sum(logs, axis=-1, keepdims=True))
+
+
 def _shadow_final_kernel(cfg, n_weights):
     """Final-sweep half of the shadow march: refined z buffer -> tau.
 
-    Identical math to the tail of ``_shadow_kernel`` (section mids, dual
-    sdf+directional-derivative sweep, transmittance product) — split out so
-    the dual-stream MLP working set is the ONLY VMEM tenant, letting this
-    kernel (and the refinement, via ``fused_importance_z``) run larger ray
-    blocks than the monolithic kernel fits."""
+    Identical math to the tail of ``_shadow_kernel`` (see
+    ``_shadow_final_math``) — split out so the dual-stream MLP working set
+    is the ONLY VMEM tenant, letting this kernel (and the refinement, via
+    ``fused_importance_z``) run larger ray blocks than the monolithic
+    kernel fits."""
 
     def kernel(z_ref, o_ref, d_ref, sdist_ref, invs_ref, anneal_ref, *refs):
         w_refs, (tau_ref,) = refs[:n_weights], refs[n_weights:]
         weights = [r[:] for r in w_refs]
-        inv_s = invs_ref[0, 0]
-        cos_anneal = anneal_ref[0, 0]
-        o = o_ref[:]
-        d = d_ref[:]
-        z = z_ref[:]
-        br = z.shape[0]
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (br, N_BUF), 1)
-        dists = jnp.where(
-            lane == N_BUF - 1, sdist_ref[:], _roll(z, -1, axis=1) - z
+        tau_ref[:] = _shadow_final_math(
+            z_ref[:], o_ref[:], d_ref[:], sdist_ref[:],
+            invs_ref[0, 0], anneal_ref[0, 0], weights, cfg,
+            roll=lambda x, s: _roll(x, s, axis=1),
         )
-        mid = z + dists * 0.5
-
-        pts = o[:, None, :] + d[:, None, :] * mid[..., None]  # [BR,128,3]
-        dirs = d[:, None, :] + pts * 0.0
-        sdf_f, dcos = _mlp_sdf_dirderiv_3d(pts, dirs, weights, cfg)
-        iter_cos = -(
-            jax.nn.relu(-dcos * 0.5 + 0.5) * (1.0 - cos_anneal)
-            + jax.nn.relu(-dcos) * cos_anneal
-        )
-        est_next = sdf_f + iter_cos * dists * 0.5
-        est_prev = sdf_f - iter_cos * dists * 0.5
-        pcdf = jax.nn.sigmoid(est_prev * inv_s)
-        ncdf = jax.nn.sigmoid(est_next * inv_s)
-        alpha = jnp.clip((pcdf - ncdf + 1e-5) / (pcdf + 1e-5), 0.0, 1.0)
-        logs = jnp.where(lane < N_BUF - 1, jnp.log(1.0 - alpha + 1e-7), 0.0)
-        tau_ref[:] = jnp.exp(jnp.sum(logs, axis=-1, keepdims=True))
 
     return kernel
 
@@ -470,33 +480,14 @@ def _shadow_kernel(cfg, rounds, n_new, base_inv_s, n_weights, merge="bitonic"):
         sdf = jnp.concatenate([sdf0, jnp.zeros_like(pad)], axis=-1)
         z, _ = _refine_rounds(z, sdf, o, d, weights, cfg, rounds, n_new, base_inv_s, merge)
 
-        # Section mids/lengths; the last interval gets the per-ray
-        # sample_dist (reference get_visibility :416-418).
-        lane = jax.lax.broadcasted_iota(jnp.int32, (br, N_BUF), 1)
-        dists = jnp.where(
-            lane == N_BUF - 1, sdist_ref[:], _roll(z, -1, axis=1) - z
-        )
-        mid = z + dists * 0.5
-
         # Final sweep: sdf + directional derivative over all 128 samples in
-        # one 3-D activation (block_rays is sized so this fits VMEM).
-        pts = o[:, None, :] + d[:, None, :] * mid[..., None]  # [BR,128,3]
-        # [BR, 1, 3] tangent broadcast implicitly inside the MLP
-        # (explicit broadcast_to of a middle dim crashes Mosaic).
-        dirs = d[:, None, :] + pts * 0.0
-        sdf_f, dcos = _mlp_sdf_dirderiv_3d(pts, dirs, weights, cfg)  # [BR,128]
-        iter_cos = -(
-            jax.nn.relu(-dcos * 0.5 + 0.5) * (1.0 - cos_anneal)
-            + jax.nn.relu(-dcos) * cos_anneal
+        # one 3-D activation (block_rays is sized so this fits VMEM); the
+        # last interval gets the per-ray sample_dist (reference
+        # get_visibility :416-418).
+        tau_ref[:] = _shadow_final_math(
+            z, o, d, sdist_ref[:], inv_s, cos_anneal, weights, cfg,
+            roll=lambda x, s: _roll(x, s, axis=1),
         )
-        est_next = sdf_f + iter_cos * dists * 0.5
-        est_prev = sdf_f - iter_cos * dists * 0.5
-        pcdf = jax.nn.sigmoid(est_prev * inv_s)
-        ncdf = jax.nn.sigmoid(est_next * inv_s)
-        alpha = jnp.clip((pcdf - ncdf + 1e-5) / (pcdf + 1e-5), 0.0, 1.0)
-        # tau = prod_{j < N-1} (1 - a_j + 1e-7): exclude the last sample.
-        logs = jnp.where(lane < N_BUF - 1, jnp.log(1.0 - alpha + 1e-7), 0.0)
-        tau_ref[:] = jnp.exp(jnp.sum(logs, axis=-1, keepdims=True))
 
     return kernel
 
@@ -537,7 +528,7 @@ def _weights_and_specs(params, cfg: SDFNetConfig, mlp_dtype: str = "float32"):
     jax.jit,
     static_argnames=(
         "cfg", "rounds", "n_new", "base_inv_s", "block_rays", "interpret",
-        "mlp_dtype", "merge", "split", "sweep_block_rays",
+        "mlp_dtype", "merge", "split", "sweep_block_rays", "sweep_impl",
     ),
 )
 def fused_importance_z(
@@ -556,6 +547,7 @@ def fused_importance_z(
     merge: str = "bitonic",
     split: bool = False,
     sweep_block_rays: int = 128,
+    sweep_impl: str = "pallas",
 ) -> jnp.ndarray:
     """[B, 64] stratified z -> [B, 128] refined z (sorted); the initial
     stratified SDF sweep runs inside the kernel.  ``merge`` selects the
@@ -565,35 +557,48 @@ def fused_importance_z(
     (``sweep_block_rays``) and the refinement rounds (``block_rays``) —
     identical math; each half's VMEM working set stands alone so both fit
     larger ray blocks than the monolith (the same trick as the shadow
-    split)."""
+    split).  ``sweep_impl="xla"`` (split only) computes the initial sweep
+    as plain XLA ops on the full batch instead of the Pallas sweep kernel
+    — the SAME ``_mlp_sdf_3d`` jnp program, compiled by XLA into
+    full-batch [B*64, F] matmuls."""
     if z0.shape[1] != N_BUF - rounds * n_new:
         raise ValueError(
             f"fused march needs z0 with {N_BUF - rounds * n_new} samples "
             f"(= {N_BUF} buffer - {rounds}x{n_new} refinement), got "
             f"{z0.shape[1]} — the validity masks assume this geometry"
         )
+    if merge == "rank" and (n_new & (n_new - 1)) != 0:
+        raise ValueError(
+            f"merge='rank' needs a power-of-two n_new (its shift network's "
+            f"stage sizes n_new, n_new/2, ..., 1 only realize every shift "
+            f"count in [0, n_new] then), got {n_new} — use merge='bitonic'"
+        )
     weights, w_specs = _weights_and_specs(params, cfg, mlp_dtype)
 
     if split:
-        (o_s, d_s, z0_s), b, n_blocks = _pad_rays(
-            [rays_o, rays_d, z0], sweep_block_rays
-        )
         n0 = z0.shape[1]
-        sweep = pl.pallas_call(
-            _sweep_kernel(cfg, len(weights)),
-            grid=(n_blocks,),
-            in_specs=[
-                pl.BlockSpec((sweep_block_rays, n0), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((sweep_block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((sweep_block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                *w_specs,
-            ],
-            out_specs=pl.BlockSpec(
-                (sweep_block_rays, n0), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((n_blocks * sweep_block_rays, n0), jnp.float32),
-            interpret=interpret,
-        )(z0_s, o_s, d_s, *weights)[:b]
+        if sweep_impl == "xla":
+            pts0 = rays_o[:, None, :] + rays_d[:, None, :] * z0[..., None]
+            sweep = _mlp_sdf_3d(pts0, weights, cfg)
+        else:
+            (o_s, d_s, z0_s), b, n_blocks = _pad_rays(
+                [rays_o, rays_d, z0], sweep_block_rays
+            )
+            sweep = pl.pallas_call(
+                _sweep_kernel(cfg, len(weights)),
+                grid=(n_blocks,),
+                in_specs=[
+                    pl.BlockSpec((sweep_block_rays, n0), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((sweep_block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((sweep_block_rays, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                    *w_specs,
+                ],
+                out_specs=pl.BlockSpec(
+                    (sweep_block_rays, n0), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((n_blocks * sweep_block_rays, n0), jnp.float32),
+                interpret=interpret,
+            )(z0_s, o_s, d_s, *weights)[:b]
 
         (rays_o, rays_d, z0, sweep), b, n_blocks = _pad_rays(
             [rays_o, rays_d, z0, sweep], block_rays
@@ -643,7 +648,8 @@ def fused_importance_z(
     jax.jit,
     static_argnames=(
         "cfg", "rounds", "n_new", "base_inv_s", "block_rays", "interpret",
-        "mlp_dtype", "split", "refine_block_rays", "merge",
+        "mlp_dtype", "split", "refine_block_rays", "merge", "sweep_impl",
+        "final_impl",
     ),
 )
 def fused_shadow_tau(
@@ -665,19 +671,27 @@ def fused_shadow_tau(
     split: bool = False,
     refine_block_rays: int = 64,
     merge: str = "bitonic",
+    sweep_impl: str = "pallas",
+    final_impl: str = "pallas",
 ) -> jnp.ndarray:
     """Shadow rays -> final transmittance [B, 1] (initial sweep in-kernel).
 
     ``split=True`` runs the march as refinement kernel + final-sweep kernel
     (identical math; each half fits larger ``block_rays`` than the monolith
     — see _shadow_final_kernel).  ``block_rays`` then sizes the final sweep
-    and ``refine_block_rays`` the refinement."""
+    and ``refine_block_rays`` the refinement.  ``sweep_impl="xla"`` moves
+    the refinement's initial sweep to XLA (see ``fused_importance_z``);
+    ``final_impl="xla"`` computes the final dual sdf+dirderiv sweep as
+    plain XLA ops on the full batch (same ``_shadow_final_math`` program).
+    Both require ``split=True``."""
     if z0.shape[1] != N_BUF - rounds * n_new:
         raise ValueError(
             f"fused march needs z0 with {N_BUF - rounds * n_new} samples "
             f"(= {N_BUF} buffer - {rounds}x{n_new} refinement), got "
             f"{z0.shape[1]} — the validity masks assume this geometry"
         )
+    if not split and (sweep_impl == "xla" or final_impl == "xla"):
+        raise ValueError("sweep_impl/final_impl='xla' require split=True")
     (ray_o, ray_d, z0, sample_dist), b, n_blocks = _pad_rays(
         [ray_o, ray_d, z0, sample_dist], block_rays
     )
@@ -699,7 +713,15 @@ def fused_shadow_tau(
             rounds=rounds, n_new=n_new, base_inv_s=base_inv_s,
             block_rays=refine_block_rays, interpret=interpret,
             mlp_dtype=mlp_dtype, merge=merge,
+            split=(sweep_impl == "xla"), sweep_impl=sweep_impl,
         )
+        if final_impl == "xla":
+            return _shadow_final_math(
+                z, ray_o[:b], ray_d[:b], sample_dist[:b],
+                jnp.asarray(inv_s, jnp.float32),
+                jnp.asarray(cos_anneal_ratio, jnp.float32),
+                weights, cfg, roll=lambda x, s: jnp.roll(x, s, axis=1),
+            )
         (ray_o, ray_d, z, sample_dist), b, n_blocks = _pad_rays(
             [ray_o[:b], ray_d[:b], z, sample_dist[:b]], block_rays
         )

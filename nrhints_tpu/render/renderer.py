@@ -111,6 +111,17 @@ class RendererConfig:
     round 3: the split step measures 15.62 ms vs the 16.06 ms monolith at
     512 rays (PROFILE.md "Split shadow march in-step")."""
     shadow_refine_block_rays: int = 32
+    importance_split: bool = False
+    """Run the importance march as sweep + rounds kernels (the shadow
+    split's trick); implied by ``march_sweep_impl="xla"``."""
+    march_sweep_impl: str = "pallas"
+    """Initial-sweep implementation of the split marches: "pallas" (sweep
+    kernel) or "xla" (the same ``_mlp_sdf_3d`` jnp program compiled by XLA
+    into full-batch [B*S, F] matmuls — no per-block VMEM ceiling)."""
+    shadow_final_impl: str = "pallas"
+    """Final dual sdf+dirderiv sweep of the split shadow march: "pallas"
+    (final-sweep kernel) or "xla" (same ``_shadow_final_math`` program on
+    the full batch)."""
     march_merge: str = "bitonic"
     """Per-round sorted-merge network inside the march kernels: "bitonic"
     (7-stage butterfly) or "rank" (comparison-count ranks + variable shift
@@ -324,6 +335,8 @@ def _importance_sample_z(params, cfg: ModelConfig, rays_o, rays_d, z_vals, mesh=
                 interpret=rcfg.fused_interpret,
                 mlp_dtype=rcfg.march_dtype,
                 merge=rcfg.march_merge,
+                split=rcfg.importance_split or rcfg.march_sweep_impl == "xla",
+                sweep_impl=rcfg.march_sweep_impl,
             )
 
         # Per-shard ray blocks under a mesh (see shard_rays_call); rays
@@ -472,6 +485,8 @@ def _shadow_transmittance(
                 split=rcfg.shadow_split,
                 refine_block_rays=rcfg.shadow_refine_block_rays,
                 merge=rcfg.march_merge,
+                sweep_impl=rcfg.march_sweep_impl,
+                final_impl=rcfg.shadow_final_impl,
             )
 
         call = shard_rays_call(

@@ -154,6 +154,7 @@ def make_train_step(
     geometry_warmup: bool = False,
     donate: bool = True,
     mesh=None,
+    compiler_options: dict | None = None,
 ):
     """Build the jitted train step for one (static) phase.
 
@@ -163,6 +164,11 @@ def make_train_step(
 
     ``mesh``: pass the trainer's ('data',) mesh so the fused Pallas kernels
     partition over it (shard_map); None keeps the single-device program.
+
+    ``compiler_options``: per-computation XLA options shipped inside the
+    program payload (e.g. ``{"xla_tpu_scoped_vmem_limit_kib": 32768}``) —
+    the only channel that reaches the axon remote compiler, whose env is
+    fixed (PROFILE.md "scoped-vmem wall").
     """
     mcfg: ModelConfig = cfg.model
     anneal_end = mcfg.anneal_end
@@ -198,7 +204,11 @@ def make_train_step(
         )
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return jax.jit(
+        step_fn,
+        donate_argnums=(0,) if donate else (),
+        compiler_options=compiler_options,
+    )
 
 
 def make_train_step_scan(
@@ -211,6 +221,7 @@ def make_train_step_scan(
     geometry_warmup: bool = False,
     donate: bool = True,
     mesh=None,
+    compiler_options: dict | None = None,
 ):
     """``n_steps`` train steps in ONE dispatch via ``lax.scan``.
 
@@ -266,7 +277,11 @@ def make_train_step_scan(
         last_metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics_seq)
         return final_state, last_metrics
 
-    return jax.jit(scan_fn, donate_argnums=(0,) if donate else ())
+    return jax.jit(
+        scan_fn,
+        donate_argnums=(0,) if donate else (),
+        compiler_options=compiler_options,
+    )
 
 
 def init_train_state(params: dict, optimizer: optax.GradientTransformation) -> TrainState:

@@ -40,8 +40,12 @@ def pytest_configure(config):
 def pytest_collection_modifyitems(config, items):
     if os.environ.get("NRHINTS_SLOW_TESTS") == "1":
         return
-    if "slow" in (config.getoption("-m") or ""):
+    import re
+
+    if re.search(r"\bslow\b", config.getoption("-m") or ""):
         return  # an explicit -m expression naming 'slow' takes over
+        # (\b guards against unrelated expressions merely containing the
+        # letters, e.g. -m 'slowish')
     skip = pytest.mark.skip(
         reason="slow tier (opt in: NRHINTS_SLOW_TESTS=1 or -m slow)"
     )

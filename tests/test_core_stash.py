@@ -280,3 +280,32 @@ def test_stash_all_op_interpret_matches_recompute(sdf_setup):
     np.testing.assert_allclose(float(va), float(vb), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
         _assert_close_scaled(a, b)
+
+
+def test_undiff_primal_uses_nonstash_forward(sdf_setup):
+    """Undifferentiated stash-op calls (eval/inference) dispatch the
+    NON-stash forward kernel — same outputs, no discarded stash write
+    (ADVICE r4: XLA cannot DCE unused outputs of an opaque pallas_call)."""
+    cfg, params, x = sdf_setup
+    a = fused_sdf_value_feat_grad(
+        params, cfg, x, interpret=True, compute_dtype="float32",
+        backward="recompute",
+    )
+    b = fused_sdf_value_feat_grad_stash(
+        params, cfg, x, interpret=True, compute_dtype="float32",
+        stash_dtype="float32",
+    )
+    for ai, bi in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(ai), np.asarray(bi))
+    # The stash kernel still runs (and stashes) on the fwd-for-grad path.
+    g = jax.grad(
+        lambda p: jnp.sum(
+            fused_sdf_value_feat_grad_stash(
+                p, cfg, x, interpret=True, compute_dtype="float32",
+                stash_dtype="float32",
+            )[0]
+        )
+    )(params)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda l: bool(jnp.all(jnp.isfinite(l))), g)
+    )
