@@ -22,23 +22,29 @@ def force(x) -> float:
 
 
 def time_ms(
-    thunk: Callable[[], object],
+    fn: Callable[[], object],
     *,
     warmup: int = 4,
     iters: int = 20,
     repeats: int = 2,
 ) -> tuple[float, list[float]]:
-    """(best_ms, all_repeat_ms) for one call of ``thunk`` (which must force
-    completion itself, e.g. ``lambda: force(fn(args))``).  ``repeats``
-    timed blocks run back-to-back in THIS session; the best is the
-    steady-state estimate, the spread is the jitter bound."""
+    """(best_ms, all_repeat_ms) for one call of ``fn`` (which returns a
+    device value).  The timed loop dispatches ``iters`` calls back-to-back
+    and forces ONE readback at the end — per-iteration readbacks would add
+    a full tunnel round trip (~25 ms!) to every call; async dispatch hides
+    it when the device is the bottleneck (the methodology every PROFILE.md
+    number uses).  ``repeats`` timed blocks run back-to-back in THIS
+    session; the best is the steady-state estimate, the spread the jitter
+    bound."""
     for _ in range(warmup):
-        thunk()
+        force(fn())
     out = []
     for _ in range(max(2, repeats)):
         t0 = time.perf_counter()
+        r = None
         for _ in range(iters):
-            thunk()
+            r = fn()
+        force(r)
         out.append((time.perf_counter() - t0) / iters * 1e3)
     return min(out), out
 

@@ -123,7 +123,7 @@ def _chain_pallas(br, act, wdt, hdt):
         out_shape=jax.ShapeDtypeStruct((M_TOTAL, WIDTH), jnp.float32),
     )
     jitted = jax.jit(lambda xx: call(xx, *ws))
-    return lambda: force(jitted(x))
+    return lambda: jitted(x)
 
 
 def _chain_xla(act, dt):
@@ -145,7 +145,7 @@ def _chain_xla(act, dt):
             h = z.astype(dt)
         return h.astype(jnp.float32)
 
-    return lambda: force(f(x))
+    return lambda: f(x)
 
 
 def _wide_dot_pallas(br, n_out):
@@ -171,7 +171,7 @@ def _wide_dot_pallas(br, n_out):
     )
     jitted = jax.jit(lambda xx: call(xx, w))
     gflop = M_TOTAL * WIDTH * n_out * 2 / 1e9
-    return (lambda: force(jitted(x))), gflop
+    return (lambda: jitted(x)), gflop
 
 
 def phase_b():
@@ -244,7 +244,7 @@ def phase_c():
     for label, kw in imp_cfgs.items():
         fn = functools.partial(march.fused_importance_z, params, cfg, o, d, z0, **kw)
         try:
-            best, reps = time_ms(lambda: force(fn()), iters=20)
+            best, reps = time_ms(fn, iters=20)
             report(label, best, reps)
             res[label] = best
         except Exception as e:
@@ -276,7 +276,7 @@ def phase_c():
             march.fused_shadow_tau, params, cfg, o, d, z0, sdist, invs, anneal, **kw
         )
         try:
-            best, reps = time_ms(lambda: force(fn()), iters=20)
+            best, reps = time_ms(fn, iters=20)
             report(label, best, reps)
             res[label] = best
         except Exception as e:

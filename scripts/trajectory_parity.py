@@ -46,6 +46,31 @@ SAMP = dict(
     n_shadow_importance_samples=16,
 )
 
+# The flagship sampling geometry (the shipping RendererConfig defaults):
+# VERDICT r4 Next #4(i) — trajectory parity at 64+4x16 / shadow 64+64.
+SAMP_FLAGSHIP = dict(
+    n_samples=64,
+    n_importance_samples=64,
+    up_sample_steps=4,
+    n_shadow_samples=64,
+    n_shadow_importance_samples=64,
+)
+
+# Ray-generator kwargs shared VERBATIM by both sides (empty = both
+# defaults).  --cam-opt sets the nr-hints-cam-opt regime: learned SO3xR3
+# pose + pl deltas (two Adam LR groups) against synthetic pose/pl noise —
+# the same values the forward parity test pins
+# (tests/test_parity_torch.py::test_ray_generator_parity; reference
+# camera/ray_generator.py:100-126).
+RAYGEN: dict = {}
+CAM_OPT_KW = dict(
+    cam_opt_mode="SO3xR3",
+    pl_opt=True,
+    cam_position_noise_std=0.02,
+    cam_orientation_noise_std=0.01,
+    pl_position_noise_std=0.05,
+)
+
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = float(np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2))
@@ -100,7 +125,7 @@ def _torch_pipeline(scene, samp, hyper, torch_seed):
     pipe = PIPE.base_pipeline.BaseNRHintPipeline(
         config=types.SimpleNamespace(
             model=model_cfg,
-            ray_generator=RefRayGenConfig(),
+            ray_generator=RefRayGenConfig(**RAYGEN),
             data=types.SimpleNamespace(white_background=True),
         ),
         shm_info=types.SimpleNamespace(camera=ref_cam, total_image_num=scene.total_image_num),
@@ -193,20 +218,25 @@ def run_torch_side(scene, batches, hyper, eval_steps, eval_bundle, torch_seed=3,
 
 
 def make_jax_cfg(hyper):
+    from nrhints_tpu.camera.rays import RayGeneratorConfig
     from nrhints_tpu.configs.config import SystemConfig
     from nrhints_tpu.data.manager import DataManagerConfig
     from nrhints_tpu.render.renderer import ModelConfig, RendererConfig
 
     return SystemConfig(
         model=ModelConfig(renderer=RendererConfig(**SAMP), **hyper),
+        ray_generator=RayGeneratorConfig(**RAYGEN),
         data=DataManagerConfig(white_background=True),
     )
 
 
-def run_jax_side(scene, batches, hyper, eval_steps, eval_bundle, init_renderer_params, jax_seed=0):
+def run_jax_side(scene, batches, hyper, eval_steps, eval_bundle, init_renderer_params,
+                 jax_seed=0, noise_buffers=None):
     """Train nrhints_tpu from ``init_renderer_params`` (the torch pipeline's
     INIT weights, converted BEFORE the torch side trained — converting after
-    would hand our run the reference's final weights)."""
+    would hand our run the reference's final weights).  ``noise_buffers``:
+    the torch side's drawn cam/pl noise, copied verbatim so both sides fight
+    the SAME synthetic miscalibration (cam-opt runs)."""
     import jax
     import jax.numpy as jnp
 
@@ -220,6 +250,10 @@ def run_jax_side(scene, batches, hyper, eval_steps, eval_bundle, init_renderer_p
     raygen_params, buffers = ray_generator_init(
         jax.random.PRNGKey(0), cfg.ray_generator, scene.total_image_num
     )
+    if noise_buffers:
+        for k, v in noise_buffers.items():
+            assert k in buffers, k
+            buffers[k] = jnp.asarray(v)
     params = {
         "renderer": jax.tree_util.tree_map(jnp.asarray, init_renderer_params),
         "raygen": raygen_params,
@@ -265,6 +299,7 @@ def run_head_to_head(
     scene_dir=None,
     with_control: bool = True,
     samp: dict | None = None,
+    raygen: dict | None = None,
 ):
     """Full experiment; returns the results dict (see __main__ for schema)."""
     import tempfile
@@ -279,9 +314,11 @@ def run_head_to_head(
 
     from nrhints_tpu.data.manager import DataManager
 
-    global SAMP
+    global SAMP, RAYGEN
     if samp is not None:
         SAMP = dict(samp)  # module-global: _torch_pipeline and make_jax_cfg read it
+    if raygen is not None:
+        RAYGEN = dict(raygen)
 
     if scene_dir is None:
         scene_dir = pathlib.Path(tempfile.gettempdir()) / f"nrhints_traj_{H}x{W}_{n_train}"
@@ -317,6 +354,13 @@ def run_head_to_head(
     init_renderer_params = jax.tree_util.tree_map(
         _np.copy, renderer_torch_to_params(pipe.renderer)
     )
+    # Snapshot the torch-drawn synthetic noise too (learned deltas init at
+    # zero on both sides; the NOISE is an rng draw that must be shared).
+    noise_buffers = {}
+    rg = pipe.ray_generator
+    for attr in ("cam_pose_noise", "pl_noise"):
+        if hasattr(rg, attr):
+            noise_buffers[attr] = _np.copy(getattr(rg, attr).detach().numpy())
 
     ref = run_torch_side(
         scene, batches, hyper, eval_steps, eval_bundle,
@@ -324,7 +368,8 @@ def run_head_to_head(
     )
     ref.pop("params")
     ours = run_jax_side(
-        scene, batches, hyper, eval_steps, eval_bundle, init_renderer_params
+        scene, batches, hyper, eval_steps, eval_bundle, init_renderer_params,
+        noise_buffers=noise_buffers,
     )
 
     control = None
@@ -430,6 +475,16 @@ def main():
     ap.add_argument("--no-control", action="store_true")
     ap.add_argument("--scene-dir", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--samp", choices=["reduced", "flagship"], default="reduced",
+        help="sampling geometry: reduced (16+2x8, shadow 16+16) or the "
+        "flagship shipping defaults (64+4x16, shadow 64+64)",
+    )
+    ap.add_argument(
+        "--cam-opt", action="store_true",
+        help="nr-hints-cam-opt regime: SO3xR3 pose + pl deltas (second Adam "
+        "group at opt_lr) against shared synthetic pose/pl noise",
+    )
     args = ap.parse_args()
 
     res = run_head_to_head(
@@ -441,6 +496,8 @@ def main():
         n_evals=args.evals,
         scene_dir=args.scene_dir,
         with_control=not args.no_control,
+        samp=SAMP_FLAGSHIP if args.samp == "flagship" else None,
+        raygen=CAM_OPT_KW if args.cam_opt else None,
     )
     print(markdown_table(res))
     print(json.dumps(res["summary"], indent=2))
