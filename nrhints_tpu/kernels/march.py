@@ -325,20 +325,22 @@ def _refine_rounds(z, sdf, rays_o, rays_d, weights, cfg, rounds, n_new, base_inv
     A ``fori_loop`` (not an unrolled python loop): all per-round shapes are
     the uniform [BR, 128] tile, so only the scalar ``valid_n`` / ``inv_s``
     vary — keeping one round body in the compiled kernel keeps Mosaic
-    compile time sane.  The last round's new samples get sdf=0 payloads in
-    the unrolled reference too (they are never read)."""
+    compile time sane.
+
+    The LAST round runs outside the loop without an MLP sweep: its new
+    samples' sdf values are only ever a merge payload that no one reads
+    (the reference skips the last ``sdf_at`` too — get_visibility /
+    up-sampling ``models/neus_hint_model.py:696-706``: the final
+    ``merge_z_vals`` call carries no sdf).  The merge networks move
+    (z, payload) pairs by z comparisons only, so the returned z is
+    bit-identical to the round-4 kernels that swept anyway — this shaves
+    one 16-column MLP sweep (~0.28 ms) per march."""
     br = z.shape[0]
     oo = jnp.sum(rays_o * rays_o, axis=-1, keepdims=True)  # [BR,1]
     od = jnp.sum(rays_o * rays_d, axis=-1, keepdims=True)
     n_start = N_BUF - rounds * n_new  # 64 with defaults
 
-    def body(i, carry):
-        z, sdf = carry
-        valid_n = n_start + i * n_new
-        inv_s = base_inv_s * jnp.exp2(i.astype(jnp.float32))
-        new_z = _round_new_z(z, sdf, valid_n, inv_s, oo, od, n_new)
-        pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z[..., None]
-        new_sdf = _mlp_sdf_3d(pts, weights, cfg)  # [BR, n_new]
+    def merge_step(z, sdf, valid_n, new_z, new_sdf):
         lane = jax.lax.broadcasted_iota(jnp.int32, (br, N_BUF - n_new), 1)
         z_cat = jnp.concatenate(
             [jnp.where(lane < valid_n, z[:, : N_BUF - n_new], BIG_Z), new_z],
@@ -349,7 +351,134 @@ def _refine_rounds(z, sdf, rays_o, rays_d, weights, cfg, rounds, n_new, base_inv
             return _rank_merge(z_cat, sdf_cat, n_new)
         return _bitonic_merge(z_cat, sdf_cat)
 
-    return jax.lax.fori_loop(0, rounds, body, (z, sdf))
+    def body(i, carry):
+        z, sdf = carry
+        valid_n = n_start + i * n_new
+        inv_s = base_inv_s * jnp.exp2(i.astype(jnp.float32))
+        new_z = _round_new_z(z, sdf, valid_n, inv_s, oo, od, n_new)
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * new_z[..., None]
+        new_sdf = _mlp_sdf_3d(pts, weights, cfg)  # [BR, n_new]
+        return merge_step(z, sdf, valid_n, new_z, new_sdf)
+
+    z, sdf = jax.lax.fori_loop(0, rounds - 1, body, (z, sdf))
+    valid_n = n_start + (rounds - 1) * n_new
+    inv_s = base_inv_s * float(2 ** (rounds - 1))
+    new_z = _round_new_z(z, sdf, valid_n, inv_s, oo, od, n_new)
+    return merge_step(z, sdf, valid_n, new_z, jnp.zeros_like(new_z))
+
+
+# ---------------------------------------------------------------------------
+# Unrolled round-machinery kernels (rounds_impl="xla"): the per-round MLP
+# sweeps leave the kernel and run as full-batch XLA matmuls (the ~55 TF/s
+# chain rate vs ~30 in-kernel — PROFILE.md round-5); only the VPU machinery
+# (inverse-CDF sampling + sorted merge) stays in Pallas.  Per round i the
+# machinery kernel MERGES round i-1's samples and computes round i's new_z
+# in one launch; a tail kernel does the final merge (zero payload — the
+# last round's sdf values are never read, see ``_refine_rounds``).
+
+
+def _merge_math(z, sdf, new_z, new_sdf, valid_n, n_new, merge):
+    br = z.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (br, N_BUF - n_new), 1)
+    z_cat = jnp.concatenate(
+        [jnp.where(lane < valid_n, z[:, : N_BUF - n_new], BIG_Z), new_z], axis=-1
+    )
+    sdf_cat = jnp.concatenate([sdf[:, : N_BUF - n_new], new_sdf], axis=-1)
+    if merge == "rank":
+        return _rank_merge(z_cat, sdf_cat, n_new)
+    return _bitonic_merge(z_cat, sdf_cat)
+
+
+def _round_machinery_kernel(n_new, merge, merge_valid_n, next_valid_n, next_inv_s):
+    """One unrolled machinery step.  ``merge_valid_n``/``next_valid_n`` are
+    STATIC (python ints; None disables that half):
+
+    * merge_valid_n is not None: inputs start (new_z_prev, new_sdf_prev)
+      and the kernel merges them into (z, sdf) first;
+    * next_valid_n is not None: the kernel emits new_z for round i
+      (descending inverse-CDF samples at inv_s = ``next_inv_s``).
+    """
+
+    def kernel(z_ref, sdf_ref, o_ref, d_ref, *refs):
+        refs = list(refs)
+        z, sdf = z_ref[:], sdf_ref[:]
+        if merge_valid_n is not None:
+            newz_prev, newsdf_prev = refs.pop(0)[:], refs.pop(0)[:]
+            z, sdf = _merge_math(
+                z, sdf, newz_prev, newsdf_prev, merge_valid_n, n_new, merge
+            )
+        outs = refs
+        if next_valid_n is not None:
+            o, d = o_ref[:], d_ref[:]
+            oo = jnp.sum(o * o, axis=-1, keepdims=True)
+            od = jnp.sum(o * d, axis=-1, keepdims=True)
+            new_z = _round_new_z(z, sdf, next_valid_n, next_inv_s, oo, od, n_new)
+            outs.pop(0)[:] = new_z
+        outs.pop(0)[:] = z
+        if outs:  # the tail (merge-only) step drops the dead sdf buffer
+            outs.pop(0)[:] = sdf
+
+    return kernel
+
+
+def _rounds_xla(
+    weights, cfg, rays_o, rays_d, z0, sdf0,
+    rounds, n_new, base_inv_s, merge, block_rays, interpret,
+):
+    """[B, n0] (z0, sdf0) -> [B, 128] refined z with XLA round sweeps."""
+    (o_p, d_p, z0_p, sdf0_p), b, n_blocks = _pad_rays(
+        [rays_o, rays_d, z0, sdf0], block_rays
+    )
+    br = block_rays
+    n0 = z0.shape[1]
+    total = n_blocks * br
+    pad = jnp.full((total, N_BUF - n0), BIG_Z, jnp.float32)
+    z = jnp.concatenate([z0_p, pad], axis=-1)
+    sdf = jnp.concatenate([sdf0_p, jnp.zeros_like(pad)], axis=-1)
+
+    def vspec(width):
+        return pl.BlockSpec((br, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def launch(kernel, inputs, out_widths):
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_blocks,),
+            in_specs=[vspec(a.shape[-1]) for a in inputs],
+            out_specs=tuple(vspec(w) for w in out_widths),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((total, w), jnp.float32) for w in out_widths
+            ),
+            interpret=interpret,
+        )(*inputs)
+        return outs
+
+    n_start = N_BUF - rounds * n_new
+    new_z = new_sdf = None
+    for i in range(rounds):
+        valid_n = n_start + i * n_new
+        inv_s = base_inv_s * float(2 ** i)
+        if i == 0:
+            kernel = _round_machinery_kernel(n_new, merge, None, valid_n, inv_s)
+            new_z, z, sdf = launch(kernel, [z, sdf, o_p, d_p], (n_new, N_BUF, N_BUF))
+        else:
+            kernel = _round_machinery_kernel(
+                n_new, merge, valid_n - n_new, valid_n, inv_s
+            )
+            new_z, z, sdf = launch(
+                kernel, [z, sdf, o_p, d_p, new_z, new_sdf], (n_new, N_BUF, N_BUF)
+            )
+        if i + 1 < rounds:
+            # The round's 16-column MLP sweep, as a full-batch XLA matmul
+            # stream (the last round's sweep is skipped — payload-only).
+            pts = o_p[:, None, :] + d_p[:, None, :] * new_z[..., None]
+            new_sdf = _mlp_sdf_3d(pts, weights, cfg)
+        else:
+            new_sdf = jnp.zeros_like(new_z)
+    tail = _round_machinery_kernel(
+        n_new, merge, n_start + (rounds - 1) * n_new, None, None
+    )
+    (z_out,) = launch(tail, [z, sdf, o_p, d_p, new_z, new_sdf], (N_BUF,))
+    return z_out[:b]
 
 
 # ---------------------------------------------------------------------------
@@ -529,6 +658,7 @@ def _weights_and_specs(params, cfg: SDFNetConfig, mlp_dtype: str = "float32"):
     static_argnames=(
         "cfg", "rounds", "n_new", "base_inv_s", "block_rays", "interpret",
         "mlp_dtype", "merge", "split", "sweep_block_rays", "sweep_impl",
+        "rounds_impl",
     ),
 )
 def fused_importance_z(
@@ -548,6 +678,7 @@ def fused_importance_z(
     split: bool = False,
     sweep_block_rays: int = 128,
     sweep_impl: str = "pallas",
+    rounds_impl: str = "pallas",
 ) -> jnp.ndarray:
     """[B, 64] stratified z -> [B, 128] refined z (sorted); the initial
     stratified SDF sweep runs inside the kernel.  ``merge`` selects the
@@ -560,7 +691,10 @@ def fused_importance_z(
     split).  ``sweep_impl="xla"`` (split only) computes the initial sweep
     as plain XLA ops on the full batch instead of the Pallas sweep kernel
     — the SAME ``_mlp_sdf_3d`` jnp program, compiled by XLA into
-    full-batch [B*64, F] matmuls."""
+    full-batch [B*64, F] matmuls.  ``rounds_impl="xla"`` (split only)
+    additionally moves each refinement round's 16-column MLP sweep to XLA,
+    leaving only the merge/inverse-CDF machinery in (unrolled) Pallas
+    kernels — see ``_rounds_xla``."""
     if z0.shape[1] != N_BUF - rounds * n_new:
         raise ValueError(
             f"fused march needs z0 with {N_BUF - rounds * n_new} samples "
@@ -573,6 +707,8 @@ def fused_importance_z(
             f"stage sizes n_new, n_new/2, ..., 1 only realize every shift "
             f"count in [0, n_new] then), got {n_new} — use merge='bitonic'"
         )
+    if not split and (sweep_impl == "xla" or rounds_impl == "xla"):
+        raise ValueError("sweep_impl/rounds_impl='xla' require split=True")
     weights, w_specs = _weights_and_specs(params, cfg, mlp_dtype)
 
     if split:
@@ -599,6 +735,12 @@ def fused_importance_z(
                 out_shape=jax.ShapeDtypeStruct((n_blocks * sweep_block_rays, n0), jnp.float32),
                 interpret=interpret,
             )(z0_s, o_s, d_s, *weights)[:b]
+
+        if rounds_impl == "xla":
+            return _rounds_xla(
+                weights, cfg, rays_o, rays_d, z0, sweep,
+                rounds, n_new, base_inv_s, merge, block_rays, interpret,
+            )
 
         (rays_o, rays_d, z0, sweep), b, n_blocks = _pad_rays(
             [rays_o, rays_d, z0, sweep], block_rays
@@ -649,7 +791,7 @@ def fused_importance_z(
     static_argnames=(
         "cfg", "rounds", "n_new", "base_inv_s", "block_rays", "interpret",
         "mlp_dtype", "split", "refine_block_rays", "merge", "sweep_impl",
-        "final_impl",
+        "final_impl", "rounds_impl",
     ),
 )
 def fused_shadow_tau(
@@ -673,6 +815,7 @@ def fused_shadow_tau(
     merge: str = "bitonic",
     sweep_impl: str = "pallas",
     final_impl: str = "pallas",
+    rounds_impl: str = "pallas",
 ) -> jnp.ndarray:
     """Shadow rays -> final transmittance [B, 1] (initial sweep in-kernel).
 
@@ -690,8 +833,8 @@ def fused_shadow_tau(
             f"(= {N_BUF} buffer - {rounds}x{n_new} refinement), got "
             f"{z0.shape[1]} — the validity masks assume this geometry"
         )
-    if not split and (sweep_impl == "xla" or final_impl == "xla"):
-        raise ValueError("sweep_impl/final_impl='xla' require split=True")
+    if not split and "xla" in (sweep_impl, final_impl, rounds_impl):
+        raise ValueError("sweep/final/rounds_impl='xla' require split=True")
     (ray_o, ray_d, z0, sample_dist), b, n_blocks = _pad_rays(
         [ray_o, ray_d, z0, sample_dist], block_rays
     )
@@ -713,7 +856,8 @@ def fused_shadow_tau(
             rounds=rounds, n_new=n_new, base_inv_s=base_inv_s,
             block_rays=refine_block_rays, interpret=interpret,
             mlp_dtype=mlp_dtype, merge=merge,
-            split=(sweep_impl == "xla"), sweep_impl=sweep_impl,
+            split=(sweep_impl == "xla" or rounds_impl == "xla"),
+            sweep_impl=sweep_impl, rounds_impl=rounds_impl,
         )
         if final_impl == "xla":
             return _shadow_final_math(

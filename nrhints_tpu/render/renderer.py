@@ -114,14 +114,21 @@ class RendererConfig:
     importance_split: bool = False
     """Run the importance march as sweep + rounds kernels (the shadow
     split's trick); implied by ``march_sweep_impl="xla"``."""
-    march_sweep_impl: str = "pallas"
-    """Initial-sweep implementation of the split marches: "pallas" (sweep
-    kernel) or "xla" (the same ``_mlp_sdf_3d`` jnp program compiled by XLA
-    into full-batch [B*S, F] matmuls — no per-block VMEM ceiling)."""
+    march_sweep_impl: str = "xla"
+    """Initial-sweep implementation of the split marches: "xla" (the same
+    ``_mlp_sdf_3d`` jnp program compiled by XLA into full-batch [B*S, F]
+    matmuls) or "pallas" (the round-4 in-kernel sweep).  Shipping default
+    "xla" since round 5: the full-batch XLA sweep runs at the ~55 TF/s
+    256-wide-chain rate instead of ~30 in-kernel — isolated importance
+    2.60 -> 2.16 ms, in-step 13.43 -> 13.01 ms (PROFILE.md round-5)."""
     shadow_final_impl: str = "pallas"
     """Final dual sdf+dirderiv sweep of the split shadow march: "pallas"
     (final-sweep kernel) or "xla" (same ``_shadow_final_math`` program on
     the full batch)."""
+    march_rounds_impl: str = "pallas"
+    """Refinement-round execution: "pallas" (one kernel, fori_loop rounds)
+    or "xla" (per-round machinery kernels + full-batch XLA round sweeps —
+    ``march.py::_rounds_xla``)."""
     march_merge: str = "bitonic"
     """Per-round sorted-merge network inside the march kernels: "bitonic"
     (7-stage butterfly) or "rank" (comparison-count ranks + variable shift
@@ -335,8 +342,13 @@ def _importance_sample_z(params, cfg: ModelConfig, rays_o, rays_d, z_vals, mesh=
                 interpret=rcfg.fused_interpret,
                 mlp_dtype=rcfg.march_dtype,
                 merge=rcfg.march_merge,
-                split=rcfg.importance_split or rcfg.march_sweep_impl == "xla",
+                split=(
+                    rcfg.importance_split
+                    or rcfg.march_sweep_impl == "xla"
+                    or rcfg.march_rounds_impl == "xla"
+                ),
                 sweep_impl=rcfg.march_sweep_impl,
+                rounds_impl=rcfg.march_rounds_impl,
             )
 
         # Per-shard ray blocks under a mesh (see shard_rays_call); rays
@@ -470,6 +482,9 @@ def _shadow_transmittance(
         from nrhints_tpu.kernels.march import fused_shadow_tau
 
         def call(p, o, d, z, sdist, invs, anneal):
+            # The monolith (shadow_split=False) has no sweep/final/rounds
+            # halves — the impl knobs only apply to the split pipeline.
+            s = rcfg.shadow_split
             return fused_shadow_tau(
                 p,
                 cfg.sdf_network,
@@ -482,11 +497,12 @@ def _shadow_transmittance(
                 block_rays=rcfg.shadow_block_rays,
                 interpret=rcfg.fused_interpret,
                 mlp_dtype=rcfg.march_dtype,
-                split=rcfg.shadow_split,
+                split=s,
                 refine_block_rays=rcfg.shadow_refine_block_rays,
                 merge=rcfg.march_merge,
-                sweep_impl=rcfg.march_sweep_impl,
-                final_impl=rcfg.shadow_final_impl,
+                sweep_impl=rcfg.march_sweep_impl if s else "pallas",
+                final_impl=rcfg.shadow_final_impl if s else "pallas",
+                rounds_impl=rcfg.march_rounds_impl if s else "pallas",
             )
 
         call = shard_rays_call(
