@@ -94,14 +94,23 @@ class RendererConfig:
     """Run the Pallas kernels in interpret mode (CPU-executable) — lets the
     CPU test mesh exercise the exact fused program structure, including its
     shard_map partitioning (tests/test_shard_fused.py, dryrun_multichip)."""
-    march_dtype: str = "float32"
-    """Dot-operand dtype inside the march kernels' MLP sweeps (the marches
-    are no-grad samplers; bf16 measured numerically equivalent on the
-    procedural scenes — PROFILE.md "March-kernel dtype")."""
-    importance_block_rays: int = 32
+    march_dtype: str = "bfloat16"
+    """Weight/activation dtype of the march MLP sweeps (the marches are
+    no-grad samplers; bf16 measured numerically equivalent on the
+    procedural scenes — PROFILE.md "March-kernel dtype"/quality_bf16).
+    Shipping default "bfloat16" since round 5: with the sweeps as XLA
+    full-batch streams, f32 softplus chains run at ~59 TF/s vs ~83 bf16
+    (amortized), and the in-step A/B separates cleanly (12.349/12.455 vs
+    12.489/12.562 ms — PROFILE.md round-5 phase J)."""
+    importance_block_rays: int = 128
     shadow_block_rays: int = 16
-    """Per-grid-step ray blocks for the two march kernels (VMEM-bounded;
-    measured optima in PROFILE.md "March-kernel block_rays sweep")."""
+    """Per-grid-step ray blocks for the two march kernels.  Under the
+    round-5 ``march_rounds_impl="xla"`` default, ``importance_block_rays``
+    (and ``shadow_refine_block_rays``) size the per-round MACHINERY
+    kernels (merge + inverse-CDF only — no MLP working set), whose
+    measured optimum is 128; with ``march_rounds_impl="pallas"`` they size
+    the full rounds kernels, where the VMEM-bounded optima were 32
+    (PROFILE.md "March-kernel block_rays sweep")."""
     shadow_split: bool = True
     """Run the shadow march as two kernels (refinement via the importance
     kernel + a final-sweep kernel) instead of one monolith.  Each half's
@@ -110,7 +119,7 @@ class RendererConfig:
     ``shadow_refine_block_rays`` the refinement.  Shipping default since
     round 3: the split step measures 15.62 ms vs the 16.06 ms monolith at
     512 rays (PROFILE.md "Split shadow march in-step")."""
-    shadow_refine_block_rays: int = 32
+    shadow_refine_block_rays: int = 128
     importance_split: bool = False
     """Run the importance march as sweep + rounds kernels (the shadow
     split's trick); implied by ``march_sweep_impl="xla"``."""
@@ -125,10 +134,13 @@ class RendererConfig:
     """Final dual sdf+dirderiv sweep of the split shadow march: "pallas"
     (final-sweep kernel) or "xla" (same ``_shadow_final_math`` program on
     the full batch)."""
-    march_rounds_impl: str = "pallas"
-    """Refinement-round execution: "pallas" (one kernel, fori_loop rounds)
-    or "xla" (per-round machinery kernels + full-batch XLA round sweeps —
-    ``march.py::_rounds_xla``)."""
+    march_rounds_impl: str = "xla"
+    """Refinement-round execution: "xla" (per-round machinery kernels +
+    full-batch XLA round sweeps — ``march.py::_rounds_xla``) or "pallas"
+    (one kernel, fori_loop rounds; the round-4 path).  Shipping default
+    "xla" since round 5: with sweeps at the ~55 TF/s full-batch XLA chain
+    rate, the step measures 12.38-12.58 ms vs 12.74-12.83 sweep-only and
+    13.43 for the round-4 defaults (PROFILE.md round-5 phase I)."""
     march_merge: str = "bitonic"
     """Per-round sorted-merge network inside the march kernels: "bitonic"
     (7-stage butterfly) or "rank" (comparison-count ranks + variable shift

@@ -137,10 +137,16 @@ def test_importance_kernel_sharded_stays_sharded_and_matches(mesh, cfg_params):
     np.testing.assert_allclose(zk, zj, atol=5e-2)
     assert np.abs(zk - zj).mean() < 5e-3
 
-    # Unsharded fused call must agree exactly with the sharded one (the
-    # kernel sees identical per-ray blocks either way).
+    # Unsharded fused call vs the sharded one.  Through round 4 these were
+    # bit-equal (the Pallas sweep saw identical per-ray blocks either way);
+    # the round-5 march_sweep_impl="xla" default runs the sweeps as
+    # FULL-BATCH matmuls whose M differs between the paths (32 rays vs 4
+    # per shard), and XLA's shape-dependent fp rounding flips ties in this
+    # scene's near-degenerate CDF — the same tie-break wobble class as the
+    # jnp-twin bound above, so the same tolerance applies.
     zk1 = _importance_sample_z(params, cfg, rays.origins, rays.directions, z0)
-    np.testing.assert_allclose(zk, np.asarray(zk1), atol=1e-6)
+    np.testing.assert_allclose(zk, np.asarray(zk1), atol=5e-2)
+    assert np.abs(zk - np.asarray(zk1)).mean() < 5e-3
 
 
 def test_shadow_kernel_sharded_stays_sharded_and_matches(mesh, cfg_params):
