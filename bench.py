@@ -142,6 +142,13 @@ def _measure_eval(n_rays: int = 65536) -> float:
     from nrhints_tpu.eval.evaluator import Evaluator
 
     cfg, camera, params, buffers, pixels = _flagship_setup(batch=n_rays)
+    side = int(n_rays ** 0.5)
+    assert side * side == n_rays, "eval bench wants a square image"
+    # render_image takes an [H, W] image-shaped bundle (it flattens and
+    # chunks internally); fold the flat flagship rays into one image.
+    pixels = jax.tree_util.tree_map(
+        lambda a: a.reshape((side, side) + a.shape[1:]), pixels
+    )
     ev = Evaluator(cfg, camera, buffers, mesh=None)
     for _ in range(2):  # warmup: compile + donation variants
         ev.render_image(params, pixels)
