@@ -357,7 +357,7 @@ def fused_sdf_value_feat_grad(
     XLA path's effective precision while running the MXU at full rate.
     Pass "float32" for exact-f32 dots (e.g. interpret-mode twin tests)."""
     cdt = compute_dtype
-    if backward in ("stash", "stash_all"):
+    if backward in ("stash", "stash_all", "stash_xla"):
         from nrhints_tpu.kernels.core_stash import fused_sdf_value_feat_grad_stash
 
         return fused_sdf_value_feat_grad_stash(
@@ -365,6 +365,7 @@ def fused_sdf_value_feat_grad(
             block_pts=block_pts, block_pts_bwd=block_pts_bwd,
             interpret=interpret, compute_dtype=cdt,
             stash_us=(backward == "stash_all"),
+            bwd_impl="xla" if backward == "stash_xla" else "pallas",
         )
     weights = materialize_sdf_weights_full(params, cfg)
     opts = (cfg, block_pts, block_pts_bwd, interpret, cdt)
@@ -487,13 +488,14 @@ def fused_mlp_apply(
     inputs -> [N, d_out] raw logits (apply the squeeze outside).
     ("stash_all" is meaningful only for the SDF op's second-order sweep;
     here it maps to the plain stash backward.)"""
-    if backward in ("stash", "stash_all"):
+    if backward in ("stash", "stash_all", "stash_xla"):
         from nrhints_tpu.kernels.core_stash import fused_mlp_apply_stash
 
         return fused_mlp_apply_stash(
             params, n_layers, x,
             block_pts=block_pts, block_pts_bwd=block_pts_bwd,
             interpret=interpret, compute_dtype=compute_dtype,
+            bwd_impl="xla" if backward == "stash_xla" else "pallas",
         )
     weights = materialize_mlp_weights(params, n_layers)
     opts = (n_layers, block_pts, block_pts_bwd, interpret, compute_dtype)
@@ -527,7 +529,7 @@ def fused_reflectance_forward(
     and 2048 fails Mosaic compile), 256 for "recompute" (3.51 vs 3.61 ms
     at 512).  PROFILE.md "Core backward schedule"."""
     if block_pts_bwd is None:
-        block_pts_bwd = 1024 if backward in ("stash", "stash_all") else 256
+        block_pts_bwd = 1024 if backward in ("stash", "stash_all", "stash_xla") else 256
     from nrhints_tpu.core.encodings import nerf_encoding
 
     view_enc = nerf_encoding(view_dirs, cfg.multi_res, include_input=True)

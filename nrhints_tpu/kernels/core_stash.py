@@ -334,7 +334,7 @@ def _sdf_stash_op(opts, weights, x):
     # forward runs only on the fwd-for-grad path (``_sdf_stash_fwd``).
     from nrhints_tpu.kernels.core_mlp import _sdf_core_fwd_pallas
 
-    cfg, bp, bp_bwd, interpret, compute_dtype, _sdt, _su = opts
+    cfg, bp, bp_bwd, interpret, compute_dtype = opts[:5]
     return _sdf_core_fwd_pallas((cfg, bp, bp_bwd, interpret, compute_dtype), weights, x)
 
 
@@ -345,6 +345,21 @@ def _sdf_stash_fwd(opts, weights, x):
 
 def _sdf_stash_bwd(opts, res, cots):
     weights, x, hs = res
+    if len(opts) > 7 and opts[7] == "xla":
+        # Full-batch XLA backward: the SAME jnp program the Pallas backward
+        # kernel executes per block, compiled by XLA over all points at
+        # once — the dL/dW outer products become K=N_points matmuls (the
+        # march-sweep lesson of PROFILE.md round-5 applied to the
+        # backward).  No grid, no per-block dW accumulation.
+        cfg = opts[0]
+        compute_dtype = opts[4]
+        sv = [h.astype(jnp.float32) for h in hs]
+        d_sdf, d_feat, d_gx = cots
+        dws, dx = sdf_core_bwd_stash_ref(
+            list(weights), x, sv, (d_sdf.reshape(-1, 1), d_feat, d_gx),
+            cfg, compute_dtype,
+        )
+        return tuple(dws), dx
     return _sdf_stash_bwd_pallas(opts, weights, x, hs, cots)
 
 
@@ -352,7 +367,7 @@ _sdf_stash_op.defvjp(_sdf_stash_fwd, _sdf_stash_bwd)
 
 
 def _sdf_stash_fwd_pallas(opts, weights, x):
-    cfg, bp, _bp_bwd, interpret, compute_dtype, stash_dtype, stash_us = opts
+    cfg, bp, _bp_bwd, interpret, compute_dtype, stash_dtype, stash_us = opts[:7]
     (x_p,), n, n_blocks = _pad_rows([x], bp)
     n_w = len(weights)
     d_feat = cfg.d_out_feat
@@ -405,7 +420,7 @@ def _sdf_stash_fwd_pallas(opts, weights, x):
 
 
 def _sdf_stash_bwd_pallas(opts, weights, x, stash, cots):
-    cfg, _bp_fwd, bp, interpret, compute_dtype, _stash_dtype, stash_us = opts
+    cfg, _bp_fwd, bp, interpret, compute_dtype, _stash_dtype, stash_us = opts[:7]
     d_sdf, d_feat_c, d_gx = cots
     d_feat_dim = cfg.d_out_feat
     widths = _stash_widths(cfg)
@@ -488,14 +503,20 @@ def fused_sdf_value_feat_grad_stash(
     compute_dtype: str = "bfloat16",
     stash_dtype: str = "bfloat16",
     stash_us: bool = False,
+    bwd_impl: str = "pallas",
 ):
     """Stash-backward twin of ``fused_sdf_value_feat_grad`` (same outputs,
     same forward numerics; backward reads stashed activations instead of
     recomputing the forward chain).  ``stash_us`` additionally stashes the
     reverse-sweep values (u_i, g_enc) so the backward skips the RevSweep
-    primal too (~4L matmul passes vs ~5L) at double the stash traffic."""
+    primal too (~4L matmul passes vs ~5L) at double the stash traffic.
+    ``bwd_impl="xla"`` runs the stashed backward as full-batch XLA instead
+    of the block-gridded Pallas kernel (see ``_sdf_stash_bwd``)."""
     weights = materialize_sdf_weights_full(params, cfg)
-    opts = (cfg, block_pts, block_pts_bwd, interpret, compute_dtype, stash_dtype, stash_us)
+    opts = (
+        cfg, block_pts, block_pts_bwd, interpret, compute_dtype,
+        stash_dtype, stash_us, bwd_impl,
+    )
     sdf, feat, gx = _sdf_stash_op(opts, weights, x)
     return sdf, feat, gx
 
@@ -538,7 +559,7 @@ def _mlp_stash_op(opts, weights, x):
     # Undifferentiated primal: non-stash forward kernel (see _sdf_stash_op).
     from nrhints_tpu.kernels.core_mlp import _mlp_fwd_pallas
 
-    n_layers, bp, bp_bwd, interpret, compute_dtype, _sdt = opts
+    n_layers, bp, bp_bwd, interpret, compute_dtype = opts[:5]
     return _mlp_fwd_pallas((n_layers, bp, bp_bwd, interpret, compute_dtype), weights, x)
 
 
@@ -549,6 +570,15 @@ def _mlp_stash_fwd(opts, weights, x):
 
 def _mlp_stash_bwd(opts, res, g):
     weights, x, zs = res
+    if len(opts) > 6 and opts[6] == "xla":
+        # Full-batch XLA backward (see _sdf_stash_bwd).
+        n_layers = opts[0]
+        compute_dtype = opts[4]
+        zz = [z.astype(jnp.float32) for z in zs]
+        dws, dx = mlp_relu_bwd_stash_ref(
+            list(weights), x, zz, g, n_layers, compute_dtype
+        )
+        return tuple(dws), dx
     return _mlp_stash_bwd_pallas(opts, weights, x, zs, g)
 
 
@@ -556,7 +586,7 @@ _mlp_stash_op.defvjp(_mlp_stash_fwd, _mlp_stash_bwd)
 
 
 def _mlp_stash_fwd_pallas(opts, weights, x):
-    n_layers, bp, _bp_bwd, interpret, compute_dtype, stash_dtype = opts
+    n_layers, bp, _bp_bwd, interpret, compute_dtype, stash_dtype = opts[:6]
     (x_p,), n, n_blocks = _pad_rows([x], bp)
     d0 = x.shape[-1]
     d_out = weights[-2].shape[-1]
@@ -590,7 +620,7 @@ def _mlp_stash_fwd_pallas(opts, weights, x):
 
 
 def _mlp_stash_bwd_pallas(opts, weights, x, zs, g):
-    n_layers, _bp_fwd, bp, interpret, compute_dtype, _sdt = opts
+    n_layers, _bp_fwd, bp, interpret, compute_dtype, _sdt = opts[:6]
     (x_p, g_p, *zs_p), n, n_blocks = _pad_rows([x, g, *zs], bp)
     if n_blocks * bp != n:
         row = jnp.arange(n_blocks * bp)[:, None]
@@ -651,8 +681,12 @@ def fused_mlp_apply_stash(
     interpret: bool = False,
     compute_dtype: str = "bfloat16",
     stash_dtype: str = "bfloat16",
+    bwd_impl: str = "pallas",
 ) -> jnp.ndarray:
     """Stash-backward twin of ``fused_mlp_apply``."""
     weights = materialize_mlp_weights(params, n_layers)
-    opts = (n_layers, block_pts, block_pts_bwd, interpret, compute_dtype, stash_dtype)
+    opts = (
+        n_layers, block_pts, block_pts_bwd, interpret, compute_dtype,
+        stash_dtype, bwd_impl,
+    )
     return _mlp_stash_op(opts, weights, x)

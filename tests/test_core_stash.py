@@ -205,7 +205,14 @@ def test_renderer_stash_and_rank_merge_match_defaults():
 
     from nrhints_tpu.render.renderer import init_model_params, render_rays
 
+    # march_dtype pinned f32 on BOTH sides: this test compares the stash /
+    # rank-merge knobs, and the round-5 bf16 sweep default makes exact
+    # z-ties more common — tied z with different sdf payloads is the one
+    # place rank and bitonic merges may legitimately order differently.
     cfg = flagship_tiny_config()
+    cfg = dataclasses.replace(
+        cfg, renderer=dataclasses.replace(cfg.renderer, march_dtype="float32")
+    )
     cfg_v2 = dataclasses.replace(
         cfg,
         renderer=dataclasses.replace(
@@ -309,3 +316,24 @@ def test_undiff_primal_uses_nonstash_forward(sdf_setup):
     assert jax.tree_util.tree_all(
         jax.tree_util.tree_map(lambda l: bool(jnp.all(jnp.isfinite(l))), g)
     )
+
+
+def test_stash_xla_backward_matches_pallas(sdf_setup):
+    """core_backward="stash_xla" (full-batch XLA backward — the identical
+    jnp program) must produce the Pallas stash backward's gradients.
+    Measured SLOWER on the chip (PROFILE.md round-5 phase K: XLA spills
+    the backward's concurrent cotangent streams); kept as the
+    counterfactual option."""
+    cfg, params, x = sdf_setup
+
+    def loss(p, backward):
+        s, f, g = fused_sdf_value_feat_grad(
+            p, cfg, x, interpret=True, compute_dtype="float32",
+            backward=backward,
+        )
+        return jnp.sum(s) + jnp.sum(f) * 1e-3 + jnp.sum(g * g)
+
+    g_pal = jax.grad(lambda p: loss(p, "stash"))(params)
+    g_xla = jax.grad(lambda p: loss(p, "stash_xla"))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_xla), jax.tree_util.tree_leaves(g_pal)):
+        _assert_close_scaled(a, b, tol=1e-5)
