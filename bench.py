@@ -130,13 +130,20 @@ def _measure(
     return batch / dt
 
 
-def _measure_eval(n_rays: int = 65536) -> float:
-    """Whole-image eval-path rays/s (Evaluator.render_image: one-dispatch
-    lax.map chunk sweep + device->host of the result images — the
-    user-visible inference path, no register_view)."""
+def _measure_eval(n_rays: int = 65536) -> tuple[float, float]:
+    """Whole-image eval-path rays/s as (full, device_only).
+
+    full: Evaluator.render_image — one-dispatch lax.map chunk sweep PLUS
+    device->host of every result map (the user-visible inference call).
+    device_only: the same jitted render with a single scalar readback —
+    the TPU render rate with the host link out of the picture.  Over the
+    remote-device tunnel the transfer is ~58% of the full call's wall time
+    (PROFILE.md round-5 phase L); on a locally-attached host the two
+    numbers converge (PCIe moves the ~3 MB of maps in <1 ms)."""
     import time as _time
 
     import jax
+    import jax.numpy as jnp
 
     from __graft_entry__ import _flagship_setup
     from nrhints_tpu.eval.evaluator import Evaluator
@@ -156,7 +163,20 @@ def _measure_eval(n_rays: int = 65536) -> float:
     t0 = _time.perf_counter()
     for _ in range(iters):
         ev.render_image(params, pixels)
-    return n_rays * iters / (_time.perf_counter() - t0)
+    full = n_rays * iters / (_time.perf_counter() - t0)
+
+    prepped = ev._prepare_params(params)
+    batched, _ = ev._chunk_and_shard(pixels.flatten(), n_rays)
+
+    def dev_only():
+        return float(jnp.sum(ev._render_image_jit(prepped, batched)["rgb"][0, 0]))
+
+    dev_only()  # warmup (same compiled graph; forces any layout variant)
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        dev_only()
+    device = n_rays * iters / (_time.perf_counter() - t0)
+    return full, device
 
 
 def main() -> None:
@@ -233,7 +253,9 @@ def main() -> None:
     # The user-visible inference path (whole-image render, 65,536 rays =
     # a 256x256 view): the eval-side number VERDICT r4 Next #5 asked for.
     if os.environ.get("NRHINTS_BENCH_SKIP_EVAL") != "1" and in_budget():
-        extras["eval_rays_per_sec"] = round(_measure_eval() / n_dev, 1)
+        ev_full, ev_device = _measure_eval()
+        extras["eval_rays_per_sec"] = round(ev_full / n_dev, 1)
+        extras["eval_rays_per_sec_device"] = round(ev_device / n_dev, 1)
 
     if extras:
         # Full record again (headline fields + extras): a parser that reads

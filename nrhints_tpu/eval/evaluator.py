@@ -226,23 +226,44 @@ class Evaluator:
             out[k] = on_mesh
         return out
 
-    def render_image(self, params, pixels: PixelBundle) -> Dict[str, np.ndarray]:
-        """Render a [H, W] pixel bundle -> host dict of [H, W, C] images."""
+    def render_image_async(self, params, pixels: PixelBundle):
+        """Dispatch a [H, W] render; return a zero-arg ``finalize() ->
+        host dict of [H, W, C] images``.
+
+        jax's async dispatch returns the device result immediately and
+        ``copy_to_host_async`` enqueues every device->host copy behind the
+        compute, so a caller that dispatches view k+1 BEFORE finalizing
+        view k overlaps k's transfer with k+1's render.  Over the
+        remote-device tunnel that transfer measured as ~58% of the
+        whole-image wall time (PROFILE.md round-5 phase L: 0.92 s device
+        render + 1.29 s serial transfer/host per 256x256 view), so the
+        pipelined loop nearly doubles multi-view throughput."""
         H, W = pixels.h_indices.shape[:2]
         n = H * W
         batched, _total = self._chunk_and_shard(pixels.flatten(), n)
         params = self._prepare_params(params)
         res = self._render_image_jit(params, batched)
-        res = {
-            k: np.asarray(v).reshape((_total,) + v.shape[2:])[:n].reshape(H, W, -1)
-            for k, v in res.items()
-        }
+        for v in res.values():
+            if hasattr(v, "copy_to_host_async"):
+                v.copy_to_host_async()
+        pose_rot = np.asarray(pixels.poses)[0, 0, :3, :3]
 
-        # Rotate normal maps into the camera frame (reference :125-133).
-        rot = np.linalg.inv(np.asarray(pixels.poses)[0, 0, :3, :3])
-        for k in ("normal", "normalized_normal"):
-            res[k] = (res[k].reshape(-1, 3) @ rot.T).reshape(H, W, 3)
-        return res
+        def finalize() -> Dict[str, np.ndarray]:
+            out = {
+                k: np.asarray(v).reshape((_total,) + v.shape[2:])[:n].reshape(H, W, -1)
+                for k, v in res.items()
+            }
+            # Rotate normal maps into the camera frame (reference :125-133).
+            rot = np.linalg.inv(pose_rot)
+            for k in ("normal", "normalized_normal"):
+                out[k] = (out[k].reshape(-1, 3) @ rot.T).reshape(H, W, 3)
+            return out
+
+        return finalize
+
+    def render_image(self, params, pixels: PixelBundle) -> Dict[str, np.ndarray]:
+        """Render a [H, W] pixel bundle -> host dict of [H, W, C] images."""
+        return self.render_image_async(params, pixels)()
 
     def get_eval_dicts(
         self, params, pixels: PixelBundle
