@@ -146,6 +146,15 @@ class RendererConfig:
     (7-stage butterfly) or "rank" (comparison-count ranks + variable shift
     network).  Identical math; see PROFILE.md "March merge network" for the
     measured comparison behind the default."""
+    reflectance_impl: str = "xla"
+    """Reflectance trunk implementation on the fused path: "xla" (the jnp
+    ``reflectance_forward`` compiled as full-batch matmul streams) or
+    "pallas" (the fused custom-VJP kernel).  The march-sweep lesson
+    carries: scan-amortized at 65k points the XLA stream measures 1.53 ms
+    fwd / 2.49 fwd+bwd vs 1.94 / 2.63 in-kernel (PROFILE.md round-5 phase
+    M3) — the short 4-layer chain spends proportionally more of its
+    in-kernel time on per-block weight reloads than the 8-layer core,
+    and the f32 HBM activation streams are cheap for ReLU."""
     core_backward: str = "stash"
     """Backward schedule of the fused core custom-VJP ops: "stash" (forward
     writes per-layer activations to HBM; backward reads them instead of
@@ -914,6 +923,10 @@ def render_rays(
         def color_call(p, *live):
             it = iter(live)
             full = [next(it) if ok else None for ok in present]
+            if rcfg.reflectance_impl == "xla":
+                # Full-batch XLA trunk (still shard-mapped over rays so the
+                # mesh partitioning matches the Pallas variant exactly).
+                return reflectance_forward(p, cfg.reflectance_network, *full)
             return fused_reflectance_forward(
                 p,
                 cfg.reflectance_network,

@@ -143,9 +143,42 @@ def phase_l2():
     print(f"  implied transfer+host      {full_s * 1e3 - best:9.1f} ms", flush=True)
 
 
+def phase_l3():
+    print("=== Phase L3: pipelined multi-view rendering (4 x 65,536 rays) ===",
+          flush=True)
+    n = 65536
+    cfg, camera, params, buffers, pixels = __graft_entry__._flagship_setup(batch=n)
+    side = int(n ** 0.5)
+    pixels = jax.tree_util.tree_map(
+        lambda a: a.reshape((side, side) + a.shape[1:]), pixels)
+    ev = eval_mod.Evaluator(cfg, camera, buffers, mesh=None)
+    views = 4
+    for _ in range(2):
+        ev.render_image(params, pixels)
+
+    # Serial (render_image per view: finalize blocks before next dispatch).
+    t0 = time.perf_counter()
+    for _ in range(views):
+        ev.render_image(params, pixels)
+    serial_s = time.perf_counter() - t0
+    print(f"  serial   {serial_s / views * 1e3:9.1f} ms/view  "
+          f"{n * views / serial_s:10.1f} rays/s", flush=True)
+
+    # Pipelined: dispatch view k+1 before finalizing view k.
+    t0 = time.perf_counter()
+    pending = ev.render_image_async(params, pixels)
+    for i in range(views):
+        nxt = ev.render_image_async(params, pixels) if i + 1 < views else None
+        pending()
+        pending = nxt
+    pipe_s = time.perf_counter() - t0
+    print(f"  pipelined{pipe_s / views * 1e3:9.1f} ms/view  "
+          f"{n * views / pipe_s:10.1f} rays/s", flush=True)
+
+
 if __name__ == "__main__":
-    phases = sys.argv[1:] or ["L1", "L2"]
+    phases = sys.argv[1:] or ["L1", "L2", "L3"]
     print(f"jax {jax.__version__}  devices {jax.devices()}", flush=True)
     for p in phases:
-        {"L1": phase_l1, "L2": phase_l2}[p.upper()]()
+        {"L1": phase_l1, "L2": phase_l2, "L3": phase_l3}[p.upper()]()
     print("done", flush=True)
