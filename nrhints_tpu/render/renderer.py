@@ -146,15 +146,21 @@ class RendererConfig:
     (7-stage butterfly) or "rank" (comparison-count ranks + variable shift
     network).  Identical math; see PROFILE.md "March merge network" for the
     measured comparison behind the default."""
-    reflectance_impl: str = "xla"
-    """Reflectance trunk implementation on the fused path: "xla" (the jnp
-    ``reflectance_forward`` compiled as full-batch matmul streams) or
-    "pallas" (the fused custom-VJP kernel).  The march-sweep lesson
-    carries: scan-amortized at 65k points the XLA stream measures 1.53 ms
-    fwd / 2.49 fwd+bwd vs 1.94 / 2.63 in-kernel (PROFILE.md round-5 phase
-    M3) — the short 4-layer chain spends proportionally more of its
-    in-kernel time on per-block weight reloads than the 8-layer core,
-    and the f32 HBM activation streams are cheap for ReLU."""
+    reflectance_impl: str = "pallas"
+    """Reflectance trunk implementation on the fused TRAIN path: "pallas"
+    (the fused custom-VJP kernel) or "xla" (the jnp
+    ``reflectance_forward`` as full-batch matmul streams).  Isolated the
+    XLA stream wins (1.53 ms fwd / 2.49 fwd+bwd vs 1.94 / 2.63 at 65k
+    points) but IN-STEP it loses cleanly (13.050/13.087 vs 12.484/12.500
+    ms — its f32 HBM activation streams compete with the step's other
+    traffic; the stash_xla lesson again), so training keeps the kernel
+    (PROFILE.md round-5 phases M3/O1)."""
+    eval_reflectance_impl: str = "xla"
+    """Reflectance trunk on the no-grad EVAL path (``is_training=False``).
+    With no backward in flight the isolated win survives in context:
+    whole-image device render 893.5/895.2 ms vs 924.9/936.5 (73.3k vs
+    70.9k rays/s, phase O2) — and the XLA trunk computes in f32, i.e.
+    exactly the jnp program the torch-parity suite pins."""
     core_backward: str = "stash"
     """Backward schedule of the fused core custom-VJP ops: "stash" (forward
     writes per-layer activations to HBM; backward reads them instead of
@@ -920,10 +926,14 @@ def render_rays(
         present = [a is not None for a in color_args]
         live_args = [a for a in color_args if a is not None]
 
+        trunk_impl = (
+            rcfg.reflectance_impl if is_training else rcfg.eval_reflectance_impl
+        )
+
         def color_call(p, *live):
             it = iter(live)
             full = [next(it) if ok else None for ok in present]
-            if rcfg.reflectance_impl == "xla":
+            if trunk_impl == "xla":
                 # Full-batch XLA trunk (still shard-mapped over rays so the
                 # mesh partitioning matches the Pallas variant exactly).
                 return reflectance_forward(p, cfg.reflectance_network, *full)
