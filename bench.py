@@ -142,34 +142,47 @@ def _measure_eval(n_rays: int = 65536) -> tuple[float, float]:
     numbers converge (PCIe moves the ~3 MB of maps in <1 ms)."""
     import time as _time
 
-    import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from __graft_entry__ import _flagship_setup
+    from nrhints_tpu.core.structs import PixelBundle
     from nrhints_tpu.eval.evaluator import Evaluator
 
-    cfg, camera, params, buffers, pixels = _flagship_setup(batch=n_rays)
+    cfg, camera, params, buffers, pixels = _flagship_setup(batch=4)
     side = int(n_rays ** 0.5)
     assert side * side == n_rays, "eval bench wants a square image"
-    # render_image takes an [H, W] image-shaped bundle (it flattens and
-    # chunks internally); fold the flat flagship rays into one image.
-    pixels = jax.tree_util.tree_map(
-        lambda a: a.reshape((side, side) + a.shape[1:]), pixels
+    # A genuine whole-image view (meshgrid grid, one pose/light): the
+    # render_image fast path builds the grid on device and uploads only
+    # the pose + light per view (evaluator._render_view_impl).
+    h, w = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+    pose0 = np.asarray(pixels.poses)[0]
+    pl0 = np.asarray(pixels.pls)[0]
+    view = PixelBundle(
+        h_indices=h.astype(np.float32),
+        w_indices=w.astype(np.float32),
+        poses=np.broadcast_to(pose0, (side, side, 4, 4)).copy(),
+        pls=np.broadcast_to(pl0, (side, side, 3)).copy(),
+        img_indices=None,
+        rgb_gt=None,
     )
     ev = Evaluator(cfg, camera, buffers, mesh=None)
     for _ in range(2):  # warmup: compile + donation variants
-        ev.render_image(params, pixels)
+        ev.render_image(params, view)
     iters = 3
     t0 = _time.perf_counter()
     for _ in range(iters):
-        ev.render_image(params, pixels)
+        ev.render_image(params, view)
     full = n_rays * iters / (_time.perf_counter() - t0)
 
     prepped = ev._prepare_params(params)
-    batched, _ = ev._chunk_and_shard(pixels.flatten(), n_rays)
+    reg = ev._regular_view(view, side, side)
+    assert reg is not None, "whole-image view should take the device-grid path"
+    pose, pl, img_idx = reg
 
     def dev_only():
-        return float(jnp.sum(ev._render_image_jit(prepped, batched)["rgb"][0, 0]))
+        res = ev._render_view_jit(prepped, pose, pl, img_idx, H=side, W=side)
+        return float(jnp.sum(res["rgb"][0, 0]))
 
     dev_only()  # warmup (same compiled graph; forces any layout variant)
     t0 = _time.perf_counter()

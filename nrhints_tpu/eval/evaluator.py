@@ -82,6 +82,9 @@ class Evaluator:
             buffers = jax.device_get(buffers)
         self.buffers = buffers
         self._render_image_jit = jax.jit(self._render_image_impl)
+        self._render_view_jit = jax.jit(
+            self._render_view_impl, static_argnames=("H", "W")
+        )
         self._register_jit = None  # built lazily
         # Per-top-key replication cache: register_view rebuilds the params
         # dict per view but leaves 'renderer' identical, so caching the
@@ -136,6 +139,59 @@ class Evaluator:
         """[n_chunks, chunk, ...] pixel pytree -> result pytree, swept with
         ``lax.map`` (sequential fixed-shape blocks inside one dispatch)."""
         return jax.lax.map(lambda c: self._render_chunk(params, c), batched)
+
+    def _render_view_impl(self, params, pose, pl, img_idx, H: int, W: int):
+        """Device-built whole-view render: the pixel grid is constructed
+        with iota INSIDE the jit, so a view's host->device upload is the
+        4x4 pose + light position (+ optional image index) — ~100 bytes —
+        instead of the ~7 MB per-ray bundle (dominated by the per-ray
+        broadcast of the constant pose).  Over the remote-device tunnel
+        that upload cost ~1.1 s/view, more than the 0.9 s render itself
+        (PROFILE.md round-5 phase Q); on a local host it is simply the
+        TPU-native shape of the problem: per-view inputs are O(1), the
+        grid is data-independent."""
+        chunk = min(self.cfg.model.inference_chunk_size, H * W)
+        n_chunks = -(-(H * W) // chunk)
+        total = n_chunks * chunk
+        # Padded tail rays (total > H*W) clamp to the last valid pixel and
+        # are sliced off on host, exactly like the padded generic path.
+        idx = jnp.minimum(jnp.arange(total, dtype=jnp.int32), H * W - 1)
+        batched = PixelBundle(
+            h_indices=(idx // W).astype(jnp.float32).reshape(n_chunks, chunk),
+            w_indices=(idx % W).astype(jnp.float32).reshape(n_chunks, chunk),
+            poses=jnp.broadcast_to(pose, (n_chunks, chunk, 4, 4)),
+            pls=jnp.broadcast_to(pl, (n_chunks, chunk, 3)),
+            img_indices=None
+            if img_idx is None
+            else jnp.broadcast_to(img_idx.astype(jnp.int32), (n_chunks, chunk)),
+            rgb_gt=None,
+        )
+        return jax.lax.map(lambda c: self._render_chunk(params, c), batched)
+
+    def _regular_view(self, pixels: PixelBundle, H: int, W: int):
+        """If ``pixels`` is a plain full-image view (meshgrid pixel grid,
+        one pose/light/index), return the (pose, pl, img_idx) triple for
+        the device-built path; else None.  Host-side numpy checks, ~ms."""
+        if self.mesh is not None:
+            return None
+        p = np.asarray(pixels.poses)
+        l = np.asarray(pixels.pls)
+        if not (np.all(p == p[0, 0]) and np.all(l == l[0, 0])):
+            return None
+        h = np.asarray(pixels.h_indices)
+        w = np.asarray(pixels.w_indices)
+        if h.shape != (H, W) or not (
+            np.array_equal(h, np.broadcast_to(np.arange(H, dtype=h.dtype)[:, None], (H, W)))
+            and np.array_equal(w, np.broadcast_to(np.arange(W, dtype=w.dtype)[None, :], (H, W)))
+        ):
+            return None
+        img_idx = None
+        if pixels.img_indices is not None:
+            ii = np.asarray(pixels.img_indices)
+            if not np.all(ii == ii.flat[0]):
+                return None
+            img_idx = jnp.asarray(ii.flat[0], jnp.int32)
+        return jnp.asarray(p[0, 0]), jnp.asarray(l[0, 0]), img_idx
 
     def _chunk_and_shard(self, flat: PixelBundle, n: int):
         """Pad + reshape flat rays to [n_chunks, chunk, ...]; under a mesh,
@@ -240,9 +296,21 @@ class Evaluator:
         pipelined loop nearly doubles multi-view throughput."""
         H, W = pixels.h_indices.shape[:2]
         n = H * W
-        batched, _total = self._chunk_and_shard(pixels.flatten(), n)
         params = self._prepare_params(params)
-        res = self._render_image_jit(params, batched)
+        reg = self._regular_view(pixels, H, W)
+        if reg is not None:
+            # Full-image view: build the grid on device, upload ~100 bytes.
+            pose, pl, img_idx = reg
+            chunk = min(self.cfg.model.inference_chunk_size, n)
+            _total = -(-n // chunk) * chunk
+            res = self._render_view_jit(params, pose, pl, img_idx, H=H, W=W)
+        else:
+            # Irregular bundle: upload the per-ray pixel tree (rgb_gt
+            # stripped — the render never reads it).
+            batched, _total = self._chunk_and_shard(
+                pixels.flatten().replace(rgb_gt=None), n
+            )
+            res = self._render_image_jit(params, batched)
         for v in res.values():
             if hasattr(v, "copy_to_host_async"):
                 v.copy_to_host_async()
