@@ -195,6 +195,8 @@ def test_mlp_stash_op_interpret(mlp_setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # round-5 fast-tier triage (43 s; stash-vs-recompute
+# gradient equivalence stays fast in the kernel-level tests)
 def test_renderer_stash_and_rank_merge_match_defaults():
     """Full fused render (interpret) with core_backward='stash' and
     march_merge='rank' reproduces the default path's outputs and gradients

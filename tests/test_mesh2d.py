@@ -130,6 +130,9 @@ def test_render_rays_2d_mesh_jnp_matches_unsharded(mesh2d, cfg_params_off):
     )
 
 
+@pytest.mark.slow  # round-5 fast-tier triage (57 s; 2-D mesh coverage
+# stays fast via trainer_with_sample_axis / sample_sharded_shadow /
+# train_step_2d_mesh)
 def test_render_rays_2d_mesh_fused_flatten_shards(mesh2d):
     """Batch divides the full mesh -> the fused kernels flatten-shard rays
     over BOTH axes and match the unsharded fused path exactly."""

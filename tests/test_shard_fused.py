@@ -205,6 +205,8 @@ def test_render_rays_fused_grads_match_unsharded(mesh, cfg_params):
         )
 
 
+@pytest.mark.slow  # round-5 fast-tier triage (46 s; edge-case fallback —
+# the divisible-path sharding equivalences stay fast)
 def test_indivisible_batch_falls_back_unpartitioned(mesh, cfg_params):
     """When the ray count doesn't divide the mesh, _ray_mesh falls back to
     the unwrapped kernels (correct, just unpartitioned) instead of a
