@@ -152,6 +152,37 @@ def test_render_image_async_pipelined_matches_sequential(setup):
     assert not np.allclose(pipe0["rgb"], pipe1["rgb"])
 
 
+def test_render_video_single_host(setup, scene, tmp_path):
+    """Single-host pipelined video loop (trainer.render_video): dispatches
+    frame i+1 before finalizing frame i via render_image_async, writes every
+    frame png, and encodes (or gracefully skips) the two mp4 clips.  The
+    multi-host variant runs in the slow tier (tests/multihost_worker.py);
+    this is the fast-tier single-process path.  Reference:
+    trainer.py:382-421."""
+    import dataclasses as dc
+
+    cfg, _, _, _, _ = setup
+    cfg = dc.replace(
+        cfg,
+        data=dc.replace(cfg.data, video_frame_num=2),
+        base_dir=str(tmp_path),
+        exp_name="video",
+    )
+    trainer = Trainer(cfg, scene=scene)
+    trainer.render_video()
+
+    frame_dir = trainer.log_dir / "video" / f"step_{trainer.global_step:07d}"
+    frames = sorted(frame_dir.glob("*.png"))
+    # Two clips (rotate-view, rotate-light) x video_frame_num frames.
+    assert len(frames) == 4
+    import imageio.v3 as iio
+
+    imgs = [iio.imread(p) for p in frames]
+    assert all(im.shape == imgs[0].shape and im.dtype == np.uint8 for im in imgs)
+    # The turntable actually moves: consecutive view-clip frames differ.
+    assert not np.array_equal(imgs[0], imgs[1])
+
+
 def test_eval_reflectance_trunk_split(setup):
     """eval_reflectance_impl='xla' (the shipped no-grad eval default) must
     match the Pallas trunk it replaces; both run under fused_kernels='on'
