@@ -183,11 +183,14 @@ def test_render_video_single_host(setup, scene, tmp_path):
     assert not np.array_equal(imgs[0], imgs[1])
 
 
+@pytest.mark.slow
 def test_eval_reflectance_trunk_split(setup):
     """eval_reflectance_impl='xla' (the shipped no-grad eval default) must
     match the Pallas trunk it replaces; both run under fused_kernels='on'
     in interpret mode here (renderer.py:929-931 selects by the static
-    is_training flag)."""
+    is_training flag).  Slow tier: two interpret-mode whole-image fused
+    renders (~21 s) — the xla-vs-pallas trunk equivalence is also pinned
+    per-component by the core_mlp twin tests."""
     cfg, trainer, params, buffers, dm = setup
     pixels = dm.get_test_view(0)
 
