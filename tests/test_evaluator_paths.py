@@ -90,10 +90,14 @@ def test_regular_view_detector(setup):
     assert reg is not None and reg[2] is None
 
 
+@pytest.mark.slow
 def test_device_grid_matches_generic_path(setup):
     """The device-built iota pixel grid must reproduce the generic
     host-uploaded bundle render exactly (same chunking, same kernels —
-    only the upload differs)."""
+    only the upload differs).  Slow tier: test_device_grid_padded_tail
+    keeps the same grid-vs-generic equivalence in the fast tier on the
+    strictly harder non-dividing-chunk case; this is the exact-divide
+    variant at the shipping chunk size."""
     cfg, trainer, params, buffers, dm = setup
     pixels = dm.get_test_view(0)
 
