@@ -140,6 +140,19 @@ class Evaluator:
         ``lax.map`` (sequential fixed-shape blocks inside one dispatch)."""
         return jax.lax.map(lambda c: self._render_chunk(params, c), batched)
 
+    def _view_chunking(self, n: int):
+        """(chunk, n_chunks, total) for an n-ray full-image view — the same
+        rounding as ``_chunk_and_shard`` (under a mesh the per-device chunk
+        size is preserved and the global chunk divides the device count),
+        shared by ``_render_view_impl`` and the async finalize reshape so
+        the two can never disagree on the padded total."""
+        chunk = min(self.cfg.model.inference_chunk_size, n)
+        if self.mesh is not None:
+            d = self.mesh.size
+            chunk = -(-min(chunk * d, max(n, d)) // d) * d
+        n_chunks = -(-n // chunk)
+        return chunk, n_chunks, n_chunks * chunk
+
     def _render_view_impl(self, params, pose, pl, img_idx, H: int, W: int):
         """Device-built whole-view render: the pixel grid is constructed
         with iota INSIDE the jit, so a view's host->device upload is the
@@ -149,10 +162,10 @@ class Evaluator:
         that upload cost ~1.1 s/view, more than the 0.9 s render itself
         (PROFILE.md round-5 phase Q); on a local host it is simply the
         TPU-native shape of the problem: per-view inputs are O(1), the
-        grid is data-independent."""
-        chunk = min(self.cfg.model.inference_chunk_size, H * W)
-        n_chunks = -(-(H * W) // chunk)
-        total = n_chunks * chunk
+        grid is data-independent.  Under an eval mesh the grid shards
+        over 'data' on the chunk (ray) axis — multi-chip eval keeps the
+        O(1) upload instead of falling back to the host-bundle path."""
+        chunk, n_chunks, total = self._view_chunking(H * W)
         # Padded tail rays (total > H*W) clamp to the last valid pixel and
         # are sliced off on host, exactly like the padded generic path.
         idx = jnp.minimum(jnp.arange(total, dtype=jnp.int32), H * W - 1)
@@ -166,14 +179,19 @@ class Evaluator:
             else jnp.broadcast_to(img_idx.astype(jnp.int32), (n_chunks, chunk)),
             rgb_gt=None,
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(None, "data"))
+            batched = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, sh), batched
+            )
         return jax.lax.map(lambda c: self._render_chunk(params, c), batched)
 
     def _regular_view(self, pixels: PixelBundle, H: int, W: int):
         """If ``pixels`` is a plain full-image view (meshgrid pixel grid,
         one pose/light/index), return the (pose, pl, img_idx) triple for
         the device-built path; else None.  Host-side numpy checks, ~ms."""
-        if self.mesh is not None:
-            return None
         p = np.asarray(pixels.poses)
         l = np.asarray(pixels.pls)
         if not (np.all(p == p[0, 0]) and np.all(l == l[0, 0])):
@@ -301,8 +319,7 @@ class Evaluator:
         if reg is not None:
             # Full-image view: build the grid on device, upload ~100 bytes.
             pose, pl, img_idx = reg
-            chunk = min(self.cfg.model.inference_chunk_size, n)
-            _total = -(-n // chunk) * chunk
+            _, _, _total = self._view_chunking(n)
             res = self._render_view_jit(params, pose, pl, img_idx, H=H, W=W)
         else:
             # Irregular bundle: upload the per-ray pixel tree (rgb_gt

@@ -134,6 +134,28 @@ def test_device_grid_padded_tail(setup):
         np.testing.assert_allclose(r_grid[k], r_gen[k], atol=2e-5, err_msg=k)
 
 
+def test_device_grid_sharded_over_mesh(setup):
+    """Under an eval mesh the device-grid path shards the in-jit pixel grid
+    over 'data' (multi-chip eval keeps the O(1)-per-view upload) — must
+    match the generic host-bundle sharded path it replaces."""
+    from nrhints_tpu.parallel import mesh as mesh_lib
+
+    cfg, trainer, params, buffers, dm = setup
+    pixels = dm.get_test_view(0)
+
+    ev_grid = Evaluator(cfg, trainer.camera, buffers, mesh=mesh_lib.make_mesh(8))
+    assert ev_grid.mesh is not None
+    assert ev_grid._regular_view(pixels, *pixels.h_indices.shape) is not None
+    r_grid = ev_grid.render_image(params, pixels)
+
+    ev_gen = _force_generic(
+        Evaluator(cfg, trainer.camera, buffers, mesh=mesh_lib.make_mesh(8))
+    )
+    r_gen = ev_gen.render_image(params, pixels)
+    for k in r_grid:
+        np.testing.assert_allclose(r_grid[k], r_gen[k], atol=2e-5, err_msg=k)
+
+
 def test_render_image_async_pipelined_matches_sequential(setup):
     """Dispatching view k+1 before finalizing view k (the pipelined video/
     eval loop) must return the same images as the blocking calls, in the
