@@ -141,11 +141,13 @@ class Evaluator:
         return jax.lax.map(lambda c: self._render_chunk(params, c), batched)
 
     def _view_chunking(self, n: int):
-        """(chunk, n_chunks, total) for an n-ray full-image view — the same
-        rounding as ``_chunk_and_shard`` (under a mesh the per-device chunk
-        size is preserved and the global chunk divides the device count),
-        shared by ``_render_view_impl`` and the async finalize reshape so
-        the two can never disagree on the padded total."""
+        """(chunk, n_chunks, total) for an n-ray chunked render — the ONE
+        chunk-rounding rule (under a mesh the per-device chunk size is
+        preserved and the global chunk is rounded up to a multiple of the
+        device count), shared by ``_chunk_and_shard``,
+        ``_render_view_impl``, and the async finalize reshape so no two
+        callers can disagree on the padded total.  Clamped to the image
+        size: one dispatch (and no dead padding rays) on tiny images."""
         chunk = min(self.cfg.model.inference_chunk_size, n)
         if self.mesh is not None:
             d = self.mesh.size
@@ -215,15 +217,8 @@ class Evaluator:
         """Pad + reshape flat rays to [n_chunks, chunk, ...]; under a mesh,
         shard the chunk (ray) axis over 'data' and replicate params so every
         mapped block runs data-parallel across the chips."""
-        # Clamp to the image size: one dispatch when the image is smaller
-        # than the chunk (and no dead padding rays on tiny test images).
-        chunk = min(self.cfg.model.inference_chunk_size, n)
-        if self.mesh is not None:
-            d = self.mesh.size
-            # Per-device chunk size preserved: chunk rays on each chip.
-            chunk = -(-min(chunk * d, max(n, d)) // d) * d
-        n_chunks = -(-n // chunk)
-        pad = n_chunks * chunk - n
+        chunk, n_chunks, total = self._view_chunking(n)
+        pad = total - n
 
         def pad_leaf(x):
             if x is None:
@@ -242,7 +237,7 @@ class Evaluator:
             batched = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, sh), batched
             )
-        return batched, n_chunks * chunk
+        return batched, total
 
     @staticmethod
     def _subtree_fingerprint(sub) -> tuple:
